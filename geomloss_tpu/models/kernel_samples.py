@@ -1,0 +1,213 @@
+r"""Kernel (MMD) norms between sampled measures: gaussian, laplacian, energy.
+
+Replaces ``/root/reference/src/geomloss/_legacy/kernel_samples.py``:
+
+.. math::
+    \text{Loss}(\alpha, \beta) = \tfrac12 \langle \alpha, K_{xx}\alpha\rangle
+      + \tfrac12 \langle \beta, K_{yy}\beta\rangle
+      - \langle \alpha, K_{xy}\beta\rangle
+
+with the reference's exact gradient bookkeeping: the self-interaction
+matvecs use a detached partner and a ``double_grad`` wrapper that doubles
+the incoming cotangent (``kernel_samples.py:43-54, 117-146``), which
+compensates for the detached symmetric halves.
+
+Two execution paths share one code structure:
+
+* ``use_streaming=False`` — dense kernel matrices (XLA MXU matmuls).
+* ``use_streaming=True`` — fused streaming kernel-matvec via
+  :func:`geomloss_tpu.ops.softmin.gibbs_apply` (the TPU replacement for
+  KeOps ``generic_sum``), never materializing ``N x M``.
+
+The ``hausdorff`` loss of the reference is an alias of these routines
+(``_legacy/samples_loss.py:12-14``).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.costs import distances, squared_distances
+from ..ops.softmin import gibbs_apply
+from ..solvers.sinkhorn_loop import scal
+
+__all__ = [
+    "double_grad",
+    "kernel_tensorized",
+    "kernel_online",
+    "kernel_multiscale",
+    "kernel_routines",
+]
+
+
+@jax.custom_vjp
+def double_grad(x):
+    """Identity in the forward pass, doubles the gradient in the backward.
+
+    Reference: ``DoubleGrad`` at ``_legacy/kernel_samples.py:43-54``.
+    """
+    return x
+
+
+def _double_grad_fwd(x):
+    return x, None
+
+
+def _double_grad_bwd(_, g):
+    return (2 * g,)
+
+
+double_grad.defvjp(_double_grad_fwd, _double_grad_bwd)
+
+
+# ------------------------------------------------------------------------------
+#  Dense kernel matrices (tensorized path)
+# ------------------------------------------------------------------------------
+
+
+def gaussian_kernel(x, y, blur=0.05):
+    C2 = squared_distances(x / blur, y / blur)
+    return jnp.exp(-C2 / 2)
+
+
+def laplacian_kernel(x, y, blur=0.05):
+    C = distances(x / blur, y / blur)
+    return jnp.exp(-C)
+
+
+def energy_kernel(x, y, blur=None):
+    return -distances(x, y)
+
+
+kernel_routines = {
+    "gaussian": gaussian_kernel,
+    "laplacian": laplacian_kernel,
+    "energy": energy_kernel,
+}
+
+#: (p, kind) parameters mapping each named kernel onto the streaming
+#: ``gibbs_apply`` primitive: gaussian = exp(-sqdist/(2 blur^2)) = Gibbs
+#: weight with p=2, eps=blur^2; laplacian = exp(-dist/blur) = p=1,
+#: eps=blur; energy = -dist.
+_streaming_params = {
+    "gaussian": (2, "gibbs"),
+    "laplacian": (1, "gibbs"),
+    "energy": (1, "energy"),
+}
+
+
+def _kernel_matvec_streaming(name, blur, x, y, v, impl="auto"):
+    """(K @ v) without materializing K, batched over a leading dim."""
+    p, kind = _streaming_params[name]
+    eps = blur**p if kind == "gibbs" else 1.0
+    zeros_n = jnp.zeros(x.shape[:-1], dtype=x.dtype)
+    zeros_m = jnp.zeros(y.shape[:-1], dtype=y.dtype)
+
+    def one(xb, yb, zn, zm, vb):
+        return gibbs_apply(
+            xb, yb, zn, zm, vb[:, None], eps, p, kind=kind, impl=impl
+        )[:, 0]
+
+    if x.ndim == 3:
+        return jax.vmap(one)(x, y, zeros_n, zeros_m, v)
+    return one(x, y, zeros_n, zeros_m, v)
+
+
+def _kernel_matvec_dense(kernel, blur, x, y, v):
+    K = kernel(x, y, blur=blur)
+    return jnp.einsum("...nm,...m->...n", K, v)
+
+
+def kernel_loss(
+    a,
+    x,
+    b,
+    y,
+    blur=0.05,
+    kernel=None,
+    name=None,
+    potentials=False,
+    use_streaming=False,
+    impl="auto",
+    **kwargs,
+):
+    """Shared MMD loss (reference ``kernel_loss``, ``kernel_samples.py:92-146``)."""
+    sg = lax.stop_gradient
+
+    if kernel is not None or (not use_streaming):
+        if kernel is None:
+            kernel = kernel_routines[name]
+        matvec = partial(_kernel_matvec_dense, kernel, blur)
+    else:
+        matvec = partial(_kernel_matvec_streaming, name, blur, impl=impl)
+
+    # Self-interaction terms with detached partners + doubled gradients:
+    a_x = matvec(double_grad(x), sg(x), sg(a))  # (B, N)
+    b_y = matvec(double_grad(y), sg(y), sg(b))  # (B, M)
+    # Cross term, fully differentiable:
+    b_x = matvec(x, y, b)  # (B, N)
+
+    if potentials:
+        a_y = matvec(y, x, a)  # (B, M): K_yx @ a == (K_xy)^T @ a by symmetry
+        return a_x - b_x, b_y - a_y
+
+    batch = x.ndim > 2
+    return (
+        0.5 * scal(double_grad(a), a_x, batch=batch)
+        + 0.5 * scal(double_grad(b), b_y, batch=batch)
+        - scal(a, b_x, batch=batch)
+    )
+
+
+kernel_tensorized = partial(kernel_loss, use_streaming=False)
+kernel_online = partial(kernel_loss, use_streaming=True)
+
+
+def kernel_multiscale(
+    a,
+    x,
+    b,
+    y,
+    blur=0.05,
+    kernel=None,
+    name=None,
+    truncate=5,
+    diameter=None,
+    cluster_scale=None,
+    potentials=False,
+    verbose=False,
+    **kwargs,
+):
+    """Multiscale MMD loss.
+
+    The reference accelerates truncatable kernels (gaussian/laplacian) with
+    block-sparse KeOps ranges (``kernel_samples.py:177-271``). On TPU the
+    streaming matvec is already HBM-bandwidth-bound and the truncation
+    window only pays off with gather-heavy bookkeeping, so we evaluate the
+    same quantity with the streaming path (exact — note the reference
+    itself falls back to ``kernel_online`` whenever ``truncate`` is None or
+    the kernel is not truncatable). Block-sparse evaluation on clustered
+    clouds is provided by the multiscale Sinkhorn machinery.
+    """
+    batched = x.ndim > 2
+    if not batched:
+        a, x, b, y = a[None], x[None], b[None], y[None]
+    out = kernel_loss(
+        a,
+        x,
+        b,
+        y,
+        blur=blur,
+        kernel=kernel,
+        name=name,
+        potentials=potentials,
+        use_streaming=True,
+        **kwargs,
+    )
+    if not batched:
+        if potentials:
+            return out[0][0], out[1][0]
+        return out[0] if out.ndim else out
+    return out

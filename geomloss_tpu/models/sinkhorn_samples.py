@@ -1,0 +1,162 @@
+r"""Sinkhorn divergence between sampled measures — point-cloud backends.
+
+Replaces the reference's three backends
+(``/root/reference/src/geomloss/_legacy/sinkhorn_samples.py``):
+
+* ``sinkhorn_tensorized`` (``:74-221``) — dense cost matrices, XLA.
+* ``sinkhorn_online`` (``:349-424``) — KeOps streaming LSE becomes our
+  fused streaming softmin (Pallas on TPU, chunked scan elsewhere).
+* ``sinkhorn_multiscale`` (``:547-681``) — coarse-to-fine with kernel
+  truncation (see ``multiscale.py``).
+
+Gradient semantics match the reference: cost structures are built with a
+*detached* second argument (reference ``:179-185`` / ``:392-393``), and the
+loop itself only back-propagates through the final extrapolation.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.costs import cost_routines
+from ..ops.softmin import softmin_dense, softmin_points
+from ..solvers.annealing import scaling_parameters
+from ..solvers.sinkhorn_loop import log_weights, sinkhorn_cost, sinkhorn_loop
+
+__all__ = ["sinkhorn_tensorized", "sinkhorn_online"]
+
+
+def sinkhorn_tensorized(
+    a,
+    x,
+    b,
+    y,
+    p=2,
+    blur=0.05,
+    reach=None,
+    diameter=None,
+    scaling=0.5,
+    cost=None,
+    debias=True,
+    potentials=False,
+    **kwargs,
+):
+    """Dense-XLA Sinkhorn divergence on batched point clouds.
+
+    Args:
+        a: ``(B, N)`` weights; x: ``(B, N, D)`` points;
+        b: ``(B, M)`` weights; y: ``(B, M, D)`` points.
+        cost: optional callable ``(B,N,D),(B,M,D) -> (B,N,M)``.
+
+    Returns:
+        ``(B,)`` divergence values, or a pair of ``(B, N)`` / ``(B, M)``
+        potentials when ``potentials=True``.
+    """
+    if cost is None:
+        cost = cost_routines[p]
+
+    sg = lax.stop_gradient
+    C_xy = cost(x, sg(y))  # (B, N, M)
+    C_yx = cost(y, sg(x))  # (B, M, N)
+    C_xx = cost(x, sg(x)) if debias else None
+    C_yy = cost(y, sg(y)) if debias else None
+
+    diameter, eps, eps_list, rho = scaling_parameters(
+        x, y, p, blur, reach, diameter, scaling
+    )
+
+    f_aa, g_bb, g_ab, f_ba = sinkhorn_loop(
+        softmin_dense,
+        log_weights(a),
+        log_weights(b),
+        C_xx,
+        C_yy,
+        C_xy,
+        C_yx,
+        eps_list,
+        rho,
+        debias=debias,
+    )
+
+    return sinkhorn_cost(
+        eps,
+        rho,
+        a,
+        b,
+        f_aa,
+        g_bb,
+        g_ab,
+        f_ba,
+        batch=True,
+        debias=debias,
+        potentials=potentials,
+    )
+
+
+def sinkhorn_online(
+    a,
+    x,
+    b,
+    y,
+    p=2,
+    blur=0.05,
+    reach=None,
+    diameter=None,
+    scaling=0.5,
+    cost=None,
+    debias=True,
+    potentials=False,
+    impl="auto",
+    **kwargs,
+):
+    """Streaming (O(N+M) memory) Sinkhorn divergence on batched point clouds.
+
+    The cost matrices stay implicit: each softmin call fuses the pairwise
+    cost with an online log-sum-exp (Pallas kernel on TPU). This is the
+    TPU-native equivalent of the reference's KeOps ``LazyTensor`` backend.
+    """
+    if cost is not None:
+        raise NotImplementedError(
+            "Custom cost functions are not supported by the online backend; "
+            "use backend='tensorized' (the reference's online backend only "
+            "accepts KeOps formula strings, which do not apply on TPU)."
+        )
+
+    softmin = partial(softmin_points, p=p, impl=impl)
+
+    sg = lax.stop_gradient
+    C_xy, C_yx = (x, sg(y)), (y, sg(x))
+    C_xx, C_yy = ((x, sg(x)), (y, sg(y))) if debias else (None, None)
+
+    diameter, eps, eps_list, rho = scaling_parameters(
+        x, y, p, blur, reach, diameter, scaling
+    )
+
+    f_aa, g_bb, g_ab, f_ba = sinkhorn_loop(
+        softmin,
+        log_weights(a),
+        log_weights(b),
+        C_xx,
+        C_yy,
+        C_xy,
+        C_yx,
+        eps_list,
+        rho,
+        debias=debias,
+    )
+
+    return sinkhorn_cost(
+        eps,
+        rho,
+        a,
+        b,
+        f_aa,
+        g_bb,
+        g_ab,
+        f_ba,
+        batch=True,
+        debias=debias,
+        potentials=potentials,
+    )

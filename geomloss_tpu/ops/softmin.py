@@ -1,0 +1,321 @@
+r"""Soft-C-transforms (softmin) and Gibbs-kernel applications.
+
+The softmin
+
+.. math::
+    f_i \gets -\varepsilon \log \sum_j \exp\big[h_j - C(x_i, y_j)/\varepsilon\big]
+
+is the single hot operation of every Sinkhorn-like solver (reference:
+``softmin_tensorized`` at ``_legacy/sinkhorn_samples.py:32-71`` and the KeOps
+``softmin_online_lazytensor`` at ``:229-290``). On TPU we provide:
+
+* ``softmin_dense`` — operates on a pre-computed dense cost matrix
+  (the "tensorized" backend).
+* ``softmin_points`` — fused cost + online log-sum-exp on raw point
+  clouds, never materializing the ``N x M`` matrix. Three interchangeable
+  implementations: ``dense`` (XLA, small problems), ``scan``
+  (chunked ``lax.scan``, any backend, O(N * BM) memory) and ``pallas``
+  (hand-written TPU kernel, see ``pallas_kernels.py``).
+
+``softmin_points`` carries an analytic custom VJP: the derivative of a
+log-sum-exp is a softmax-weighted reduction with the *same* streaming
+structure as the forward pass (flash-attention-style backward), so
+gradients also run in O(N + M) memory.
+
+Design notes (TPU):
+  - For ``p = 2`` the cost decomposes as
+    ``C_ij = |x_i|^2/2 + |y_j|^2/2 - <x_i, y_j>`` so the inner loop is a
+    plain MXU matmul plus a column bias — exactly a flash-attention score
+    block. The row term ``|x_i|^2/2`` is pulled *out* of the LSE, which
+    keeps the streaming kernels free of per-row broadcasts.
+  - All reductions keep float32 accumulators with running-max
+    renormalization.
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .costs import SQDIST_FLOOR, cost_routines
+
+
+def _acc_dtype(dt):
+    """MXU accumulation dtype: at least float32, but never downcast float64."""
+    return jnp.result_type(dt, jnp.float32)
+
+__all__ = [
+    "softmin_dense",
+    "softmin_points",
+    "gibbs_apply",
+    "lse_points",
+]
+
+
+# ==============================================================================
+#  Dense softmin on explicit cost matrices ("tensorized")
+# ==============================================================================
+
+
+def softmin_dense(eps, C, h):
+    """Softmin on a dense cost matrix.
+
+    Args:
+        eps: temperature (positive scalar, possibly traced).
+        C: ``(..., N, M)`` cost matrix.
+        h: ``(..., M)`` dual vector (usually ``b_log + g / eps``).
+
+    Returns:
+        ``(..., N)`` dual potential ``f``.
+    """
+    return -eps * jax.nn.logsumexp(h[..., None, :] - C / eps, axis=-1)
+
+
+# ==============================================================================
+#  Streaming log-sum-exp over implicit point-cloud costs
+# ==============================================================================
+#
+# The raw primitive is
+#     lse_points(x, y, h, eps, p)[i] = log sum_j exp(h_j - C(x_i,y_j)/eps)
+# from which softmin_points = -eps * lse_points.
+
+
+def _lse_dense(x, y, h, eps, p):
+    C = cost_routines[p](x, y)
+    return jax.nn.logsumexp(h[None, :] - C / eps, axis=-1)
+
+
+def _chunk_score(x, y_blk, h_blk, eps, p):
+    """Scores ``h_j - C_ij / eps`` for one block of y. Shapes (N, BM)."""
+    acc = _acc_dtype(x.dtype)
+    if p == 2:
+        # h'_j - |x_i|^2/(2 eps) + <x_i, y_j>/eps with h' folded by caller:
+        sq_y = 0.5 * (y_blk * y_blk).sum(-1)
+        dots = jnp.dot(x, y_blk.T, preferred_element_type=acc)
+        return (h_blk - sq_y / eps)[None, :] + (
+            dots - 0.5 * (x * x).sum(-1)[:, None]
+        ) / eps
+    else:
+        sq = (
+            (x * x).sum(-1)[:, None]
+            - 2 * jnp.dot(x, y_blk.T, preferred_element_type=acc)
+            + (y_blk * y_blk).sum(-1)[None, :]
+        )
+        d = jnp.sqrt(jnp.clip(sq, min=SQDIST_FLOOR))
+        return h_blk[None, :] - d / eps
+
+
+def _lse_scan(x, y, h, eps, p, block_m=2048):
+    """Chunked online LSE: O(N * BM) live memory, any backend."""
+    N = x.shape[0]
+    M = y.shape[0]
+    bm = min(block_m, M)
+    n_blocks = -(-M // bm)
+    pad = n_blocks * bm - M
+    if pad:
+        y = jnp.pad(y, ((0, pad), (0, 0)))
+        h = jnp.pad(h, (0, pad), constant_values=-1e30)
+    y_blocks = y.reshape(n_blocks, bm, -1)
+    h_blocks = h.reshape(n_blocks, bm)
+
+    def body(carry, blk):
+        m, s = carry
+        y_blk, h_blk = blk
+        scores = _chunk_score(x, y_blk, h_blk, eps, p)
+        blk_max = scores.max(axis=-1)
+        new_m = jnp.maximum(m, blk_max)
+        s = s * jnp.exp(m - new_m) + jnp.exp(scores - new_m[:, None]).sum(-1)
+        return (new_m, s), None
+
+    m0 = jnp.full((N,), -1e30, dtype=x.dtype)
+    s0 = jnp.zeros((N,), dtype=x.dtype)
+    (m, s), _ = lax.scan(body, (m0, s0), (y_blocks, h_blocks))
+    return m + jnp.log(s)
+
+
+def _resolve_impl(impl, n, m):
+    if impl != "auto":
+        return impl
+    if jax.default_backend() == "tpu":
+        # Dense stays competitive while the cost matrix fits comfortably:
+        return "dense" if n * m <= 4096 * 4096 else "pallas"
+    return "dense" if n * m <= 4096 * 4096 else "scan"
+
+
+def _lse_points_raw(x, y, h, eps, p, impl):
+    impl = _resolve_impl(impl, x.shape[0], y.shape[0])
+    if impl == "dense":
+        return _lse_dense(x, y, h, eps, p)
+    if impl == "scan":
+        return _lse_scan(x, y, h, eps, p)
+    if impl == "pallas":
+        from .pallas_kernels import lse_pallas
+
+        return lse_pallas(x, y, h, eps, p)
+    raise ValueError(f"Unknown softmin implementation: {impl!r}")
+
+
+# ------------------------------------------------------------------------------
+#  Gibbs kernel application (shared by VJPs, MMD losses and lazy plans)
+# ------------------------------------------------------------------------------
+
+
+def _gibbs_weight_dense(x, y, phi, psi, eps, p, kind):
+    """Dense ``(N, M)`` weight matrix for one of the supported kinds."""
+    if kind == "energy":
+        return -cost_routines[1](x, y)
+    C = cost_routines[p](x, y)
+    w = jnp.exp(phi[:, None] + psi[None, :] - C / eps)
+    if kind == "gibbs_grad" and p == 1:
+        w = w / jnp.clip(C, min=jnp.sqrt(SQDIST_FLOOR))
+    return w
+
+
+def _gibbs_apply_dense(x, y, phi, psi, V, eps, p, kind):
+    w = _gibbs_weight_dense(x, y, phi, psi, eps, p, kind)
+    return jnp.dot(w, V, preferred_element_type=_acc_dtype(V.dtype)).astype(V.dtype)
+
+
+def _gibbs_apply_scan(x, y, phi, psi, V, eps, p, kind, block_m=2048):
+    M = y.shape[0]
+    bm = min(block_m, M)
+    n_blocks = -(-M // bm)
+    pad = n_blocks * bm - M
+    if pad:
+        y = jnp.pad(y, ((0, pad), (0, 0)))
+        psi = jnp.pad(psi, (0, pad), constant_values=-1e30)
+        V = jnp.pad(V, ((0, pad), (0, 0)))
+    y_b = y.reshape(n_blocks, bm, -1)
+    psi_b = psi.reshape(n_blocks, bm)
+    V_b = V.reshape(n_blocks, bm, -1)
+
+    acc_dt = _acc_dtype(V.dtype)
+
+    def body(acc, blk):
+        y_blk, psi_blk, V_blk = blk
+        w = _gibbs_weight_dense(x, y_blk, phi, psi_blk, eps, p, kind)
+        return acc + jnp.dot(w, V_blk, preferred_element_type=acc_dt), None
+
+    acc0 = jnp.zeros((x.shape[0], V.shape[-1]), dtype=acc_dt)
+    acc, _ = lax.scan(body, acc0, (y_b, psi_b, V_b))
+    return acc.astype(V.dtype)
+
+
+def gibbs_apply(x, y, phi, psi, V, eps, p, kind="gibbs", impl="auto"):
+    r"""Streaming kernel-weighted reduction
+    ``O_i = sum_j w_ij V_j`` with
+
+    * ``kind='gibbs'``:      ``w_ij = exp(phi_i + psi_j - C_p(x_i,y_j)/eps)``
+    * ``kind='gibbs_grad'``: same, divided by ``|x_i - y_j|`` when ``p == 1``
+      (the extra factor in the gradient of the Euclidean cost),
+    * ``kind='energy'``:     ``w_ij = -|x_i - y_j|`` (energy-distance kernel).
+
+    This single primitive implements: softmin VJPs, MMD kernel matvecs
+    (reference ``kernel_loss`` matvecs, ``_legacy/kernel_samples.py:128-137``)
+    and lazy transport-plan applications (``ot/_ot_result.py:388-406``).
+
+    Args:
+        x: ``(N, D)``; y: ``(M, D)``; phi: ``(N,)``; psi: ``(M,)``;
+        V: ``(M, C)`` channel matrix; eps: scalar; p: 1 or 2 (static);
+        kind, impl: static strings.
+
+    Returns:
+        ``(N, C)`` array.
+    """
+    impl = _resolve_impl(impl, x.shape[0], y.shape[0])
+    if impl == "dense":
+        return _gibbs_apply_dense(x, y, phi, psi, V, eps, p, kind)
+    if impl == "scan":
+        return _gibbs_apply_scan(x, y, phi, psi, V, eps, p, kind)
+    if impl == "pallas":
+        from .pallas_kernels import gibbs_apply_pallas
+
+        return gibbs_apply_pallas(x, y, phi, psi, V, eps, p, kind)
+    raise ValueError(f"Unknown gibbs_apply implementation: {impl!r}")
+
+
+# ==============================================================================
+#  Differentiable streaming softmin on point clouds
+# ==============================================================================
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def lse_points(x, y, h, eps, p, impl):
+    r"""``lse_points(x,y,h,eps)[i] = log sum_j exp(h_j - C_p(x_i,y_j)/eps)``.
+
+    Differentiable w.r.t. ``x``, ``y`` and ``h`` through an analytic,
+    streaming VJP. ``eps`` is treated as non-differentiable (it is a plain
+    Python float in the reference library).
+    """
+    return _lse_points_raw(x, y, h, eps, p, impl)
+
+
+def _lse_points_fwd(x, y, h, eps, p, impl):
+    out = _lse_points_raw(x, y, h, eps, p, impl)
+    return out, (x, y, h, eps, out)
+
+
+def _lse_points_bwd(p, impl, res, u):
+    # out_i = log sum_j exp(h_j - C_ij/eps); w_ij = exp(h_j - C_ij/eps - out_i)
+    # d/dh_j   = sum_i u_i w_ij
+    # d/dx_i   = -(u_i/eps) sum_j w_ij dC_ij/dx_i
+    # d/dy_j   = -(1/eps)  sum_i u_i w_ij dC_ij/dy_j
+    x, y, h, eps, out = res
+    D = x.shape[-1]
+    phi = -out  # row bias: -lse_i
+    psi = h  # col bias
+
+    kind = "gibbs" if p == 2 else "gibbs_grad"
+
+    # Row-side reduction: R_i = sum_j w'_ij [1, y_j]  -> (N, 1 + D)
+    ones_y = jnp.ones((y.shape[0], 1), dtype=y.dtype)
+    Vy = jnp.concatenate([ones_y, y], axis=-1)
+    R = gibbs_apply(x, y, phi, psi, Vy, eps, p, kind=kind, impl=impl)
+    # dC/dx_i summed with weights: p=2 -> x_i * sum_j w - sum_j w y_j
+    #                              p=1 -> x_i * sum_j w/d - sum_j (w/d) y_j
+    dx = -(u / eps)[:, None] * (x * R[:, :1] - R[:, 1:])
+
+    # Column-side reduction: swap roles of x and y, fold u into channels.
+    ones_x = jnp.ones((x.shape[0], 1), dtype=x.dtype)
+    Vx = u[:, None] * jnp.concatenate([ones_x, x], axis=-1)
+    Tq = gibbs_apply(y, x, psi, phi, Vx, eps, p, kind=kind, impl=impl)
+    dy = -(1.0 / eps) * (y * Tq[:, :1] - Tq[:, 1:])
+
+    # dh needs plain (non-grad) weights even for p = 1:
+    if p == 1:
+        t = gibbs_apply(y, x, psi, phi, u[:, None], eps, p, kind="gibbs", impl=impl)
+        dh = t[:, 0]
+    else:
+        dh = Tq[:, 0]
+
+    d_eps = jnp.zeros_like(jnp.asarray(eps))
+    return (dx.astype(x.dtype), dy.astype(y.dtype), dh.astype(h.dtype), d_eps)
+
+
+lse_points.defvjp(_lse_points_fwd, _lse_points_bwd)
+
+
+def softmin_points(eps, C_xy, h, p=2, impl="auto"):
+    """Online softmin on point clouds — the "online"/"multiscale" softmin.
+
+    Args:
+        eps: temperature.
+        C_xy: pair ``(x, y)`` of ``(N, D)`` / ``(M, D)`` (or batched
+            ``(B, N, D)`` / ``(B, M, D)``) point clouds. The caller decides
+            which of the two carries gradients (the reference detaches the
+            second argument, ``_legacy/sinkhorn_samples.py:392-393``).
+        h: ``(M,)`` or ``(B, M)`` dual vector.
+        p: 1 or 2 (static).
+        impl: 'auto' | 'dense' | 'scan' | 'pallas' (static).
+
+    Returns:
+        ``(N,)`` or ``(B, N)`` potential.
+    """
+    x, y = C_xy
+    eps = jnp.asarray(eps, dtype=x.dtype)
+    if x.ndim == 3:
+        fn = jax.vmap(lambda xb, yb, hb: lse_points(xb, yb, hb, eps, p, impl))
+        return -eps * fn(x, y, h)
+    return -eps * lse_points(x, y, h, eps, p, impl)
