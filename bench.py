@@ -1,0 +1,71 @@
+"""Benchmark harness: debiased Sinkhorn divergence + gradient wall-clock.
+
+Reproduces the reference's north-star protocol
+(``examples/performances/plot_benchmarks_samplesloss_3D.py``: loss +
+gradient wall-clock on 3D point clouds drawn on the unit sphere,
+``blur=0.05``, ``scaling=0.5``) at N = 100,000 points per measure on one
+TPU chip, using the streaming online backend.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+``vs_baseline`` is the speedup against the reference GeomLoss online
+(KeOps) backend on its documented benchmark GPU (RTX 3090): ~1.4 s for
+loss+grad at N = 1e5 (read off the published benchmark curves referenced
+in BASELINE.md; the reference repo ships no committed numbers).
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SECONDS = 1.4  # reference online backend, N=1e5, RTX 3090 (see above)
+N_POINTS = 100_000
+
+
+def sphere_cloud(n, seed):
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v.astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from geomloss_tpu import SamplesLoss
+
+    x = jnp.asarray(sphere_cloud(N_POINTS, 0))
+    y = jnp.asarray(sphere_cloud(N_POINTS, 1))
+
+    loss = SamplesLoss(
+        "sinkhorn", p=2, blur=0.05, diameter=2.0, scaling=0.5, backend="online"
+    )
+    step = jax.jit(jax.value_and_grad(lambda x, y: loss(x, y)))
+
+    # Warm-up / compile:
+    jax.block_until_ready(step(x, y))
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(x, y)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    print(
+        json.dumps(
+            {
+                "metric": "sinkhorn_divergence_loss+grad_100k_3d_blur0.05",
+                "value": round(dt * 1e3, 2),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_SECONDS / dt, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
