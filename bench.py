@@ -45,14 +45,20 @@ def main():
     )
     step = jax.jit(jax.value_and_grad(lambda x, y: loss(x, y)))
 
+    def run_sync(x, y):
+        # N.B.: on tunneled TPU runtimes `block_until_ready` can return
+        # before execution has drained; fetching values to host is the
+        # only reliable synchronization.
+        v, g = step(x, y)
+        return float(v) + float(g[0, 0])
+
     # Warm-up / compile:
-    jax.block_until_ready(step(x, y))
+    run_sync(x, y)
 
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = step(x, y)
-    jax.block_until_ready(out)
+        run_sync(x, y)
     dt = (time.perf_counter() - t0) / reps
 
     print(
