@@ -40,8 +40,10 @@ def main():
     x = jnp.asarray(sphere_cloud(N_POINTS, 0))
     y = jnp.asarray(sphere_cloud(N_POINTS, 1))
 
+    # backend="auto" resolves to the multiscale backend at this size, exactly
+    # like the reference's heuristic (N*M > 10000^2, D<=3, p=2).
     loss = SamplesLoss(
-        "sinkhorn", p=2, blur=0.05, diameter=2.0, scaling=0.5, backend="online"
+        "sinkhorn", p=2, blur=0.05, diameter=2.0, scaling=0.5, backend="auto"
     )
     step = jax.jit(jax.value_and_grad(lambda x, y: loss(x, y)))
 

@@ -1,18 +1,32 @@
 r"""Multiscale (coarse-to-fine) Sinkhorn on unbatched point clouds.
 
 Re-design of the reference's KeOps block-sparse backend
-(``/root/reference/src/geomloss/_legacy/sinkhorn_samples.py:427-681``):
-voxel-grid clustering, a two-scale epsilon-descent that iterates on
-cluster centroids while ``eps > cluster_scale**p``, then jumps to the fine
-cloud through an analytic softmin extrapolation.
+(``/root/reference/src/geomloss/_legacy/sinkhorn_samples.py:427-681``).
 
-Current TPU strategy: the coarse phase runs on centroids (tiny problems,
-dense XLA) and the fine phase runs the streaming softmin — which on TPU is
-already compute/bandwidth optimal without the gather-heavy block-sparse
-bookkeeping that KeOps needs on GPU. Kernel truncation (reference
-``:493-530``) is implemented as a block-mask specialization of the
-streaming kernel and enabled for clustered clouds (see
-``ops/block_sparse.py``); when disabled the result is exact.
+The reference clusterizes with a voxel grid: the number of clusters is
+data-dependent and clusters are ragged — fine for KeOps' ranged CUDA
+reductions, hostile to XLA. The TPU-native formulation replaces ragged
+voxel clusters with **fixed-size spatially-sorted blocks**:
+
+1. points are sorted by their voxel id at scale ``cluster_scale``
+   (a static number of bins, derived from the static ``diameter``);
+2. consecutive runs of ``block_size`` sorted points form the clusters —
+   every shape is static, so the whole solver jits and differentiates;
+3. the coarse measure is the per-block weighted centroid with summed
+   weights; the coarse phase of the epsilon-descent runs on it (a ~2000 x
+   2000 problem) until ``eps < cluster_scale**p``, exactly the reference's
+   jump rule (``:593-597``);
+4. the jump extrapolates the potentials analytically onto the fine cloud
+   (``extrapolate_samples``, ``:533-544``) and the last iterations run at
+   full resolution with the streaming softmin.
+
+Fixed-size blocks are also the natural unit for block-sparse kernel
+truncation on TPU (cluster block == kernel tile), implemented in
+``ops/block_sparse.py``.
+
+Gradient semantics match the reference: the clustering is entirely inside
+the no-grad region (gradients only flow through the final extrapolation
+at the fine scale).
 """
 
 import math
@@ -23,17 +37,56 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.clustering import clusterize
-from ..ops.costs import cost_routines
 from ..ops.softmin import softmin_points
 from ..solvers.annealing import scaling_parameters
 from ..solvers.sinkhorn_loop import log_weights, sinkhorn_cost, sinkhorn_loop
 
-__all__ = ["sinkhorn_multiscale"]
+__all__ = ["sinkhorn_multiscale", "spatial_sort_blocks"]
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def spatial_sort_blocks(a, x, cluster_scale, diameter, block_size):
+    """Spatially sort a measure and group it into fixed-size blocks.
+
+    Returns ``(w_coarse, a_sorted), (centroids, x_sorted), perm`` where the
+    sorted arrays are padded to a multiple of ``block_size`` (padding has
+    zero weight) and ``perm`` maps sorted -> original indices.
+    """
+    N, D = x.shape
+    n_bins = max(2, int(math.ceil(diameter / cluster_scale)) + 2)  # static
+
+    sg = lax.stop_gradient
+    x_d = sg(x)
+    mins = x_d.min(axis=0)
+    idx = jnp.clip(
+        jnp.floor((x_d - mins) / cluster_scale), 0, n_bins - 1
+    ).astype(jnp.int32)
+    key = idx[:, 0]
+    for d in range(1, D):
+        key = key * n_bins + idx[:, d]
+    perm = jnp.argsort(key)
+
+    a_s, x_s = a[perm], x[perm]
+
+    Npad = _cdiv(N, block_size) * block_size
+    if Npad != N:
+        a_s = jnp.concatenate([a_s, jnp.zeros((Npad - N,), a.dtype)])
+        x_s = jnp.concatenate(
+            [x_s, jnp.broadcast_to(x_s[-1:], (Npad - N, D))], axis=0
+        )
+
+    K = Npad // block_size
+    ab = sg(a_s).reshape(K, block_size)
+    xb = sg(x_s).reshape(K, block_size, D)
+    w = ab.sum(-1)  # (K,)
+    cent = (ab[..., None] * xb).sum(1) / jnp.maximum(w, 1e-40)[:, None]
+    return (w, a_s), (cent, x_s), perm
 
 
 def _softmin_cloud(eps, C_xy, h_y, p=2, impl="auto"):
-    """Softmin where C_xy = (x, y) raw clouds (possibly of different scales)."""
     x, y = C_xy[0], C_xy[1]
     return softmin_points(eps, (x, y), h_y, p=p, impl=impl)
 
@@ -66,19 +119,26 @@ def sinkhorn_multiscale(
     labels_y=None,
     verbose=False,
     impl="auto",
+    target_clusters=2000,
     **kwargs,
 ):
     """Two-scale Sinkhorn divergence on unbatched clouds ``x (N,D)``, ``y (M,D)``.
 
-    Matches the reference's scale/jump schedule exactly
-    (``sinkhorn_samples.py:579-597``): default
-    ``cluster_scale = diameter / (sqrt(D) * 2000**(1/D))`` and a jump at the
-    first iteration index ``i + 1`` with ``cluster_scale**p > eps_list[i+2]``.
+    Fully jit- and grad-compatible (pass ``diameter=`` under tracing).
+    Follows the reference's scale schedule: default
+    ``cluster_scale = diameter / (sqrt(D) * 2000**(1/D))``
+    (``sinkhorn_samples.py:585``) and a jump at the first index ``i + 1``
+    with ``cluster_scale**p > eps_list[i + 2]`` (``:593-597``).
     """
     if cost is not None:
         raise NotImplementedError(
             "Custom costs are not supported by the multiscale backend "
             "(the reference requires KeOps formula strings here)."
+        )
+    if labels_x is not None or labels_y is not None:
+        raise NotImplementedError(
+            "User-supplied cluster labels are not supported by the "
+            "fixed-block multiscale backend; use cluster_scale instead."
         )
 
     N, D = x.shape
@@ -89,18 +149,18 @@ def sinkhorn_multiscale(
     )
 
     if cluster_scale is None:
-        cluster_scale = diameter / (math.sqrt(D) * 2000 ** (1 / D))
+        cluster_scale = diameter / (math.sqrt(D) * target_clusters ** (1 / D))
 
-    # Voxel-grid clustering; points are re-sorted so clusters are contiguous:
-    (a_c, a_s), (x_c, x_s), ranges_x, perm_x = clusterize(
-        a, x, scale=cluster_scale, labels=labels_x
+    block_x = max(1, _cdiv(N, target_clusters))
+    block_y = max(1, _cdiv(M, target_clusters))
+
+    (aw_c, a_s), (x_c, x_s), perm_x = spatial_sort_blocks(
+        a, x, cluster_scale, diameter, block_x
     )
-    (b_c, b_s), (y_c, y_s), ranges_y, perm_y = clusterize(
-        b, y, scale=cluster_scale, labels=labels_y
+    (bw_c, b_s), (y_c, y_s), perm_y = spatial_sort_blocks(
+        b, y, cluster_scale, diameter, block_y
     )
 
-    # Jump index: first iteration whose *next* eps is finer than the
-    # cluster scale (reference ``:593-597``):
     jumps = [len(eps_list) - 1]
     for i, e in enumerate(eps_list[2:]):
         if cluster_scale**p > e:
@@ -109,7 +169,7 @@ def sinkhorn_multiscale(
 
     if verbose:
         print(
-            f"{x_c.shape[0]}x{y_c.shape[0]} clusters, computed at "
+            f"{x_c.shape[0]}x{y_c.shape[0]} cluster blocks, computed at "
             f"scale = {cluster_scale:2.3f}"
         )
         print(
@@ -121,8 +181,8 @@ def sinkhorn_multiscale(
     extrapolate = partial(_extrapolate, p=p, impl=impl)
 
     sg = lax.stop_gradient
-    a_logs = [log_weights(a_c), log_weights(a_s)]
-    b_logs = [log_weights(b_c), log_weights(b_s)]
+    a_logs = [log_weights(aw_c), log_weights(a_s)]
+    b_logs = [log_weights(bw_c), log_weights(b_s)]
 
     C_xxs = [(x_c, sg(x_c)), (x_s, sg(x_s))] if debias else None
     C_yys = [(y_c, sg(y_c)), (y_s, sg(y_s))] if debias else None
@@ -130,8 +190,8 @@ def sinkhorn_multiscale(
     C_yxs = [(y_c, sg(x_c)), (y_s, sg(x_s))]
 
     def no_truncation(C_xy, C_yx, C_xy_f, C_yx_f, f, g, eps, truncate=None, cost=None):
-        # Exact evaluation: keep all fine-scale blocks. Block-sparse
-        # truncation is a pure optimization (see module docstring).
+        # Exact evaluation: keep all fine-scale blocks (block-sparse
+        # truncation is wired in via ops/block_sparse.py when enabled).
         return C_xy_f, C_yx_f
 
     f_aa, g_bb, g_ab, f_ba = sinkhorn_loop(
@@ -167,9 +227,9 @@ def sinkhorn_multiscale(
     )
 
     if potentials:
-        # De-sort the potentials back to the user's original point order:
+        # Drop padding and de-sort back to the user's original point order:
         F_x, G_y = out
-        f_out = jnp.zeros_like(F_x).at[perm_x].set(F_x)
-        g_out = jnp.zeros_like(G_y).at[perm_y].set(G_y)
+        f_out = jnp.zeros((N,), F_x.dtype).at[perm_x].set(F_x[: perm_x.shape[0]])
+        g_out = jnp.zeros((M,), G_y.dtype).at[perm_y].set(G_y[: perm_y.shape[0]])
         return f_out, g_out
     return out
