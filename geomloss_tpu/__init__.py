@@ -34,9 +34,9 @@ def __getattr__(name):
 
         return VolumesLoss
     if name == "ot":
-        from . import ot
+        import importlib
 
-        return ot
+        return importlib.import_module("geomloss_tpu.ot")
     raise AttributeError(f"module 'geomloss_tpu' has no attribute {name!r}")
 
 

@@ -1,0 +1,41 @@
+"""``geomloss_tpu.ot`` — POT-compatible optimal transport solvers.
+
+Mirrors the reference's ``geomloss.ot`` module
+(``/root/reference/src/geomloss/ot/__init__.py``): ``solve`` /
+``solve_batch`` on explicit cost matrices, ``solve_sample`` on point
+clouds, ``solve_grid`` on images/volumes, and the lazily-cached
+``OTResult`` family with ``LinearOperator`` plans.
+"""
+
+from .result import LinearOperator, OTResult
+from .solve_matrix import OTResultMatrix, barycenter, solve, solve_batch
+from .solve_sample import (
+    OTResultSample,
+    barycenter_sample,
+    solve_sample,
+    solve_sample_batch,
+)
+
+
+def __getattr__(name):
+    if name in ("solve_grid", "barycenter_grid", "OTResultGrid"):
+        from . import solve_grid as _sg
+
+        return getattr(_sg, name)
+    raise AttributeError(f"module 'geomloss_tpu.ot' has no attribute {name!r}")
+
+
+__all__ = [
+    "LinearOperator",
+    "OTResult",
+    "OTResultMatrix",
+    "OTResultSample",
+    "solve",
+    "solve_batch",
+    "solve_sample",
+    "solve_sample_batch",
+    "solve_grid",
+    "barycenter",
+    "barycenter_sample",
+    "barycenter_grid",
+]

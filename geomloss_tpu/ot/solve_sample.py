@@ -1,0 +1,381 @@
+r"""``ot.solve_sample`` — OT between point clouds, cost computed on the fly.
+
+Re-implementation of
+``/root/reference/src/geomloss/ot/_implementations/sample.py``: the
+``sqeuclidean`` cost (NO 1/p factor: ``reg = p * blur**p``), the
+unbatched softmin with eps limit cases, and the ``OTResultSample`` result
+whose "lazy" density/plan are streaming LinearOperators (our TPU-native
+replacement for KeOps LazyTensors).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.softmin import gibbs_apply, lse_points
+from ..solvers.annealing import annealing_parameters, max_diameter
+from ..solvers.sinkhorn_ot import sinkhorn_loop
+from ..utils.cache import add_cached_methods_to_sphinx
+from ..utils.typing import CostMatrices
+from ..utils.validation import (
+    ArrayProperties,
+    check_library_dtype_device,
+    check_marginal,
+    check_marginal_masses,
+    check_regularization,
+    convert_inputs,
+)
+from .result import LinearOperator, OTResult
+from .solve_matrix import stable_log
+
+__all__ = ["solve_sample", "solve_sample_batch", "OTResultSample", "barycenter_sample"]
+
+#: Above this many cost-matrix entries, OTResultSample switches to
+#: streaming (never-materialized) operators for density/plan application.
+STREAMING_THRESHOLD = 5000 * 5000
+
+
+def squared_distances(x, y, *, matrix_type="dense"):
+    """Reference ``sample.py:38-66`` (the "lazy" branch becomes streaming
+    operators at the OTResult level on TPU)."""
+    N, D = x.shape
+    M, D_ = y.shape
+    assert D == D_, "x and y should have the same number of coordinates per sample."
+    D_xx = (x * x).sum(-1).reshape(N, 1)
+    D_xy = x @ y.T
+    D_yy = (y * y).sum(-1).reshape(1, M)
+    return D_xx - 2 * D_xy + D_yy
+
+
+def cost_matrix(x, y, cost="sqeuclidean", matrix_type="dense"):
+    if cost == "sqeuclidean":
+        return squared_distances(x, y, matrix_type=matrix_type)
+    raise NotImplementedError()
+
+
+def softmin_sample(eps, log_weights, costs, potentials):
+    r"""Unbatched softmin with eps = 0 / +infinity limit cases
+    (reference ``sample.py:91-180``). ``costs`` is either a dense ``(N, M)``
+    matrix or a pair of point clouds ``(x, y)`` for the streaming path."""
+    log_b_y, g_y = log_weights, potentials
+
+    if isinstance(costs, tuple):
+        # Streaming path: fused cost + online LSE (Pallas on TPU).
+        x, y = costs
+        if isinstance(eps, float) and eps == float("inf"):
+            # f_i = sum_j b_j (|x_i - y_j|^2 - g_j) / sum(b): expand the square
+            # to get a closed form in O(N + M) — no pairwise matrix needed.
+            b_y = jnp.exp(log_b_y)
+            sum_b = b_y.sum()
+            sq_x = (x * x).sum(-1)  # (N,)
+            wy = (b_y[:, None] * y).sum(0)  # (D,)
+            cst = (b_y * (y * y).sum(-1)).sum() - jnp.dot(b_y, g_y)
+            f_i = sq_x * sum_b - 2.0 * (x @ wy) + cst
+            return f_i / sum_b
+        elif isinstance(eps, float) and eps == 0:
+            raise NotImplementedError(
+                "eps = 0 is not supported by the streaming softmin."
+            )
+        else:
+            e = jnp.asarray(eps, x.dtype)
+            h = log_b_y + g_y / e
+            # C = squared distances (no 1/2!): scale points by sqrt(2)
+            # so that |u - v|^2 / 2 == |x - y|^2.
+            sq2 = jnp.sqrt(jnp.asarray(2.0, x.dtype))
+            return -e * lse_points(sq2 * x, sq2 * y, h, e, 2, "auto")
+
+    C_xy = costs
+    assert len(C_xy.shape) == 2, "C_xy should be a (N,M) Tensor."
+    N, M = C_xy.shape
+    assert g_y.shape == (M,)
+    assert log_b_y.shape == (M,)
+
+    if isinstance(eps, float) and eps == float("inf"):
+        b_y = jnp.exp(log_b_y)
+        sum_b = b_y.sum(axis=0, keepdims=True)
+        f_i = ((C_xy - g_y[None, :]) * b_y[None, :]).sum(axis=1)
+        return f_i / sum_b
+    elif isinstance(eps, float) and eps == 0:
+        return jnp.min(C_xy - g_y[None, :], axis=1)
+    else:
+        scores_xy = (log_b_y + g_y / eps)[None, :] - C_xy / eps
+        return -eps * jax.nn.logsumexp(scores_xy, axis=1)
+
+
+@add_cached_methods_to_sphinx
+class OTResultSample(OTResult):
+    """Result of an OT problem computed from point positions
+    (reference ``sample.py:443-639``)."""
+
+    def __init__(
+        self,
+        *,
+        X_a,
+        X_b,
+        a,
+        b,
+        C,
+        cost,
+        reg,
+        reg_type,
+        unbalanced,
+        unbalanced_type,
+        debias,
+        potentials,
+        array_properties,
+    ):
+        super().__init__(
+            a=a,
+            b=b,
+            potentials=potentials,
+            array_properties=array_properties,
+            batchsize=0,
+            reg=reg,
+            reg_type=reg_type,
+            unbalanced=unbalanced,
+            unbalanced_type=unbalanced_type,
+            debias=debias,
+        )
+        self._X_a = X_a
+        self._X_b = X_b
+        self._cost = cost
+        self._C_streaming = isinstance(C.xy, tuple) if C is not None else True
+        self._C_dense = None if self._C_streaming else C
+
+        ap = self._array_properties
+        if ap.B == 0:
+            self._shapes = {
+                "a": (ap.N,),
+                "b": (ap.M,),
+                "C": (ap.N, ap.M),
+                "B": (),
+            }
+        else:
+            raise NotImplementedError()
+
+    def _density(self):
+        r"""Density $P_{ij} = \exp((f_i + g_j - C(x_i,y_j))/\varepsilon)$ as a
+        dense array (reference ``sample.py:510-560``)."""
+        if self._C_dense is None:
+            self._C_dense = CostMatrices(
+                xy=cost_matrix(self._X_a, self._X_b, cost=self._cost),
+                yx=None,
+            )
+        ap = self._array_properties
+        C = self._C_dense.xy
+        f = self._potentials.f_ba
+        g = self._potentials.g_ab
+        eps = self._reg
+        if self._reg_type != "KL":
+            raise NotImplementedError(
+                "Currently, we only support 'KL' as regularization for the OT problem."
+            )
+        assert eps > 0
+        P_ij = jnp.exp((f[:, None] + g[None, :] - C) / eps)
+        return self.cast(P_ij, "C")
+
+    def _lazy_density(self):
+        """Density as a streaming LinearOperator (TPU-native analogue of the
+        reference's KeOps LazyTensor, ``sample.py:562-588``)."""
+        ap = self._array_properties
+        f = self._potentials.f_ba
+        g = self._potentials.g_ab
+        eps = jnp.asarray(self._reg, self._X_a.dtype)
+        x, y = self._X_a, self._X_b
+        sq2 = jnp.sqrt(jnp.asarray(2.0, x.dtype))
+
+        def matmat(s):  # (M, V) -> (N, V)
+            return gibbs_apply(sq2 * x, sq2 * y, f / eps, g / eps, s, eps, 2)
+
+        def rmatmat(s):  # (N, V) -> (M, V)
+            return gibbs_apply(sq2 * y, sq2 * x, g / eps, f / eps, s, eps, 2)
+
+        return LinearOperator.from_streaming(
+            matmat=matmat,
+            rmatmat=rmatmat,
+            input_shape=self._shapes["b"],
+            output_shape=self._shapes["a"],
+        )
+
+    def _density_operator(self):
+        """Density of the transport plan, as a :class:`LinearOperator`."""
+        ap = self._array_properties
+        if ap.N * ap.M > STREAMING_THRESHOLD:
+            return self.lazy_density
+        return LinearOperator.from_dense(
+            self.density,
+            input_shape=self._shapes["b"],
+            output_shape=self._shapes["a"],
+        )
+
+    def _plan(self):
+        """Transport plan, encoded as a dense array."""
+        density = self.density
+        P_ij = density * self._a[:, None] * self._b[None, :]
+        return self.cast(P_ij, "C")
+
+    def _lazy_plan(self):
+        """Transport plan, as a streaming LinearOperator."""
+        return self.lazy_density.rescale(
+            input_scaling=self.cast(self._b, "b"),
+            output_scaling=self.cast(self._a, "a"),
+        )
+
+    # Barycentric mappings ===============================================================
+    def _a_to_b(self):
+        r"""Barycentric map: for each source point $x_i$, the plan-weighted
+        average target position $\sum_j \pi_{ij} y_j / \sum_j \pi_{ij}$."""
+        mass = self.density_operator @ self._b  # (N,)
+        targets = self.density_operator @ (self._b[:, None] * self._X_b)  # (N, D)
+        return targets / jnp.maximum(mass, 1e-40)[:, None]
+
+    def _b_to_a(self):
+        r"""Barycentric map from the target to the source points."""
+        mass = self.density_operator.T @ self._a  # (M,)
+        sources = self.density_operator.T @ (self._a[:, None] * self._X_a)  # (M, D)
+        return sources / jnp.maximum(mass, 1e-40)[:, None]
+
+
+@convert_inputs("X_a", "X_b", "a", "b")
+def solve_sample(
+    X_a,
+    X_b,
+    a=None,
+    b=None,
+    cost="sqeuclidean",
+    debias=False,
+    reg=None,
+    unbalanced=None,
+    unbalanced_type="KL",
+    method="auto",
+    max_iter=None,
+    tol=None,
+    blur=None,
+    reach=None,
+) -> OTResultSample:
+    r"""Solves an OT problem between point clouds (reference ``sample.py:189-395``).
+
+    The cost is ``C(x, y) = |x - y|^2`` (``"sqeuclidean"``, no 1/p factor):
+    the geometric shortcuts are ``reg = p * blur**p`` and
+    ``unbalanced = p * reach**p``.
+
+    Above ~5k x 5k points, the solver automatically switches to streaming
+    softmin kernels (Pallas on TPU) so the cost matrix is never
+    materialized, and the result's ``density_operator`` / ``lazy_plan``
+    are streaming operators.
+    """
+    if cost == "sqeuclidean":
+        p = 2
+    else:
+        p = 1
+
+    if blur is not None:
+        if reg is not None:
+            raise ValueError(
+                "Parameters 'reg' and 'blur' are redundant. "
+                "Please specify only one of them."
+            )
+        reg = p * (blur**p)
+
+    if reach is not None:
+        if unbalanced is not None:
+            raise ValueError(
+                "Parameters 'unbalanced' and 'reach' are redundant. "
+                "Please specify only one of them."
+            )
+        unbalanced = p * (reach**p)
+
+    check_regularization(
+        reg=reg,
+        unbalanced=unbalanced,
+        unbalanced_type=unbalanced_type,
+        method=method,
+        tol=tol,
+        max_iter=max_iter,
+    )
+
+    if len(X_a.shape) != 2:
+        raise ValueError(f"Expected X_a to be a (N, D) array. Received {X_a.shape}.")
+    if len(X_b.shape) != 2:
+        raise ValueError(f"Expected X_b to be a (M, D) array. Received {X_b.shape}.")
+    N, D = X_a.shape
+    M, D_ = X_b.shape
+    if D != D_:
+        raise ValueError(
+            "Expected X_a and X_b to have the same number of coordinates per sample. "
+            f"Received D={D} for X_a and D={D_} for X_b."
+        )
+
+    a = check_marginal(a, ones_like=X_a[:, 0], marginal_size=N, name="a")
+    b = check_marginal(b, ones_like=X_b[:, 0], marginal_size=M, name="b")
+
+    if unbalanced is None:
+        check_marginal_masses(
+            a.sum(axis=0, keepdims=True), b.sum(axis=0, keepdims=True)
+        )
+
+    library, dtype, device = check_library_dtype_device(X_a, X_b, a, b)
+    array_properties = ArrayProperties(
+        B=0, N=N, M=M, dtype=dtype, device=device, library=library
+    )
+
+    descent = annealing_parameters(
+        maxmin_cost=max_diameter(X_a, X_b) ** p,
+        eps=reg,
+        rho=unbalanced,
+        n_iter=max_iter,
+    )
+
+    use_streaming = N * M > STREAMING_THRESHOLD
+    if use_streaming:
+        C_xy, C_yx = (X_a, X_b), (X_b, X_a)
+        C_xx = (X_a, X_a) if debias else None
+        C_yy = (X_b, X_b) if debias else None
+    else:
+        C_xy = cost_matrix(X_a, X_b, cost=cost)
+        C_yx = cost_matrix(X_b, X_a, cost=cost)
+        C_xx = cost_matrix(X_a, X_a, cost=cost) if debias else None
+        C_yy = cost_matrix(X_b, X_b, cost=cost) if debias else None
+
+    C_list = [CostMatrices(xy=C_xy, yx=C_yx, xx=C_xx, yy=C_yy)]
+
+    potentials = sinkhorn_loop(
+        softmin=softmin_sample,
+        log_a_list=[stable_log(a)],
+        log_b_list=[stable_log(b)],
+        C_list=C_list,
+        descent=descent,
+        debias=debias,
+        last_extrapolation=True,
+    )
+
+    return OTResultSample(
+        X_a=X_a,
+        X_b=X_b,
+        a=a,
+        b=b,
+        C=C_list[-1],
+        cost=cost,
+        reg=reg,
+        reg_type="KL",
+        unbalanced=unbalanced,
+        unbalanced_type=unbalanced_type,
+        debias=debias,
+        potentials=potentials,
+        array_properties=array_properties,
+    )
+
+
+def solve_sample_batch(*args, **kwargs):
+    """Reference parity: ``solve_sample_batch`` raises NotImplementedError
+    upstream as well (``sample.py:405-430``). Use jax.vmap over
+    :func:`solve_sample`'s solver core, or the legacy
+    :class:`geomloss_tpu.SamplesLoss` with batched inputs."""
+    raise NotImplementedError("This function is not implemented yet.")
+
+
+def barycenter_sample(*args, **kwargs):
+    """Reference parity: stub upstream (``sample.py:644-652``)."""
+    raise NotImplementedError(
+        "barycenter_sample is not implemented (stub in the reference as "
+        "well); see geomloss_tpu.ImagesBarycenter for grid barycenters."
+    )
