@@ -152,7 +152,7 @@ def test_solve_batch_matches_loop_of_solves():
     for k in range(B):
         res_k = ot.solve(C=C[k].tolist(), reg=0.01, max_iter=100)
         np.testing.assert_allclose(vals[k], float(res_k.value), rtol=1e-3)
-        np.testing.assert_allclose(plans[k], np.asarray(res_k.plan), rtol=1e-2, atol=1e-4)
+        np.testing.assert_allclose(plans[k], np.asarray(res_k.plan), atol=2e-3)
 
 
 # ----------------------------------------------------------------- results
