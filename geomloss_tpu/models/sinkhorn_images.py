@@ -45,6 +45,7 @@ def sinkhorn_divergence(
     debias=True,
     potentials=False,
     verbose=False,
+    _return_raw_potentials=False,
     **kwargs,
 ):
     r"""Debiased Sinkhorn divergence between measures on 1D/2D/3D grids.
@@ -139,6 +140,9 @@ def sinkhorn_divergence(
         extrapolate=extrapolate,
         debias=debias,
     )
+
+    if _return_raw_potentials:
+        return (f_aa, g_bb, g_ab, f_ba), eps
 
     return sinkhorn_cost(
         eps,

@@ -19,9 +19,9 @@ from .solve_sample import (
 
 def __getattr__(name):
     if name in ("solve_grid", "barycenter_grid", "OTResultGrid"):
-        from . import solve_grid as _sg
+        from . import grid_impl
 
-        return getattr(_sg, name)
+        return getattr(grid_impl, name)
     raise AttributeError(f"module 'geomloss_tpu.ot' has no attribute {name!r}")
 
 
