@@ -1,32 +1,30 @@
-r"""Multiscale (coarse-to-fine) Sinkhorn on unbatched point clouds.
+r"""Multiscale (coarse-to-fine) Sinkhorn with block-sparse kernel truncation.
 
 Re-design of the reference's KeOps block-sparse backend
 (``/root/reference/src/geomloss/_legacy/sinkhorn_samples.py:427-681``).
 
 The reference clusterizes with a voxel grid: the number of clusters is
 data-dependent and clusters are ragged — fine for KeOps' ranged CUDA
-reductions, hostile to XLA. The TPU-native formulation replaces ragged
-voxel clusters with **fixed-size spatially-sorted blocks**:
+reductions, hostile to XLA. The TPU-native formulation:
 
-1. points are sorted by their voxel id at scale ``cluster_scale``
-   (a static number of bins, derived from the static ``diameter``);
-2. consecutive runs of ``block_size`` sorted points form the clusters —
-   every shape is static, so the whole solver jits and differentiates;
-3. the coarse measure is the per-block weighted centroid with summed
-   weights; the coarse phase of the epsilon-descent runs on it (a ~2000 x
-   2000 problem) until ``eps < cluster_scale**p``, exactly the reference's
-   jump rule (``:593-597``);
-4. the jump extrapolates the potentials analytically onto the fine cloud
-   (``extrapolate_samples``, ``:533-544``) and the last iterations run at
-   full resolution with the streaming softmin.
+1. points are sorted by voxel id at scale ``cluster_scale`` (static bin
+   count derived from the static ``diameter``), then grouped into
+   **fixed-size blocks** — every shape is static, so the whole solver
+   jits and differentiates;
+2. the coarse measure is the per-block weighted centroid with summed
+   weights; the coarse epsilon-descent runs on it until
+   ``eps < cluster_scale**p`` — the reference's jump rule (``:593-597``);
+3. the jump extrapolates the potentials analytically onto the fine cloud
+   (``extrapolate_samples``, ``:533-544``);
+4. **kernel truncation** (``:493-530``): the extrapolated potentials give
+   per-kernel-tile keep scores ``max f + max g > C_lb - truncate*eps``;
+   the remaining fine iterations and the differentiable last
+   extrapolation run through block-sparse Pallas kernels that only visit
+   the kept tiles (see ``ops/block_sparse.py``). Pass ``truncate=None``
+   for an exact (dense-streaming) fine phase.
 
-Fixed-size blocks are also the natural unit for block-sparse kernel
-truncation on TPU (cluster block == kernel tile), implemented in
-``ops/block_sparse.py``.
-
-Gradient semantics match the reference: the clustering is entirely inside
-the no-grad region (gradients only flow through the final extrapolation
-at the fine scale).
+Gradient semantics match the reference: everything up to the final
+extrapolation is detached (envelope theorem).
 """
 
 import math
@@ -37,67 +35,117 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.block_sparse import build_tile_masks, softmin_sparse
 from ..ops.softmin import softmin_points
-from ..solvers.annealing import scaling_parameters
-from ..solvers.sinkhorn_loop import log_weights, sinkhorn_cost, sinkhorn_loop
+from ..solvers.annealing import dampening, scaling_parameters
+from ..solvers.sinkhorn_loop import log_weights, sinkhorn_cost
 
 __all__ = ["sinkhorn_multiscale", "spatial_sort_blocks"]
+
+#: Kernel tile size of the block-sparse fine phase. Padded cloud sizes are
+#: multiples of this, and the cluster block size divides it.
+TILE = 256
 
 
 def _cdiv(a, b):
     return -(-a // b)
 
 
-def spatial_sort_blocks(a, x, cluster_scale, diameter, block_size):
-    """Spatially sort a measure and group it into fixed-size blocks.
+def kd_sort_perm(x, leaf_size):
+    """Balanced KD ordering: recursively split (widest axis, median) until
+    segments reach ``leaf_size``. Input length must be ``leaf_size * 2^k``.
 
-    Returns ``(w_coarse, a_sorted), (centroids, x_sorted), perm`` where the
-    sorted arrays are padded to a multiple of ``block_size`` (padding has
-    zero weight) and ``perm`` maps sorted -> original indices.
+    Unlike a space-filling curve, the resulting fixed-size tiles are
+    near-optimally compact — the property the truncation bounds rely on.
+    Fully jit-compatible: ``k`` levels of vmapped argsorts.
     """
     N, D = x.shape
-    n_bins = max(2, int(math.ceil(diameter / cluster_scale)) + 2)  # static
+    levels = 0
+    while leaf_size << (levels + 1) <= N:
+        levels += 1
+    assert leaf_size << levels == N, "length must be leaf_size * 2^k"
+
+    idx = jnp.arange(N)
+    seg = 1
+    for _ in range(levels):
+        seg_len = N // seg
+        xs = x[idx].reshape(seg, seg_len, D)
+        width = xs.max(axis=1) - xs.min(axis=1)  # (seg, D)
+        ax = jnp.argmax(width, axis=-1)  # (seg,)
+        vals = jnp.take_along_axis(xs, ax[:, None, None], axis=2)[..., 0]
+        order = jnp.argsort(vals, axis=1)  # (seg, seg_len)
+        idx = jnp.take_along_axis(idx.reshape(seg, seg_len), order, axis=1).reshape(-1)
+        seg *= 2
+    return idx
+
+
+def spatial_sort_blocks(a, x, cluster_scale, diameter, block_size, pad_multiple=TILE):
+    """KD-sort a measure and group it into fixed-size blocks.
+
+    Returns ``(w_coarse, a_sorted), (centroids, x_sorted), perm`` where the
+    sorted arrays are padded to ``pad_multiple * 2^k`` (padding has zero
+    weight and sits in a far corner so it occupies dedicated tiles) and
+    ``perm`` maps original -> position among the first N sorted slots.
+    """
+    N, D = x.shape
 
     sg = lax.stop_gradient
     x_d = sg(x)
-    mins = x_d.min(axis=0)
-    idx = jnp.clip(
-        jnp.floor((x_d - mins) / cluster_scale), 0, n_bins - 1
-    ).astype(jnp.int32)
-    key = idx[:, 0]
-    for d in range(1, D):
-        key = key * n_bins + idx[:, d]
-    perm = jnp.argsort(key)
 
-    a_s, x_s = a[perm], x[perm]
-
-    Npad = _cdiv(N, block_size) * block_size
+    # Pad to pad_multiple * 2^k with far-away zero-weight points:
+    Npad = pad_multiple
+    while Npad < N:
+        Npad *= 2
     if Npad != N:
-        a_s = jnp.concatenate([a_s, jnp.zeros((Npad - N,), a.dtype)])
-        x_s = jnp.concatenate(
-            [x_s, jnp.broadcast_to(x_s[-1:], (Npad - N, D))], axis=0
+        far = x_d.max() + 10.0 * diameter
+        x_full = jnp.concatenate(
+            [x, jnp.full((Npad - N, D), far, x.dtype)], axis=0
         )
+        x_full_d = jnp.concatenate(
+            [x_d, jnp.full((Npad - N, D), far, x.dtype)], axis=0
+        )
+        a_full = jnp.concatenate([a, jnp.zeros((Npad - N,), a.dtype)])
+    else:
+        x_full, x_full_d, a_full = x, x_d, a
+
+    order = kd_sort_perm(x_full_d, min(block_size, pad_multiple))
+    a_s, x_s = a_full[order], x_full[order]
+    # perm maps sorted slot -> original index (pad slots point past N):
+    perm = order
 
     K = Npad // block_size
     ab = sg(a_s).reshape(K, block_size)
     xb = sg(x_s).reshape(K, block_size, D)
     w = ab.sum(-1)  # (K,)
-    cent = (ab[..., None] * xb).sum(1) / jnp.maximum(w, 1e-40)[:, None]
+    cent = (ab[..., None] * xb).sum(1) / jnp.maximum(w, 1e-30)[:, None]
     return (w, a_s), (cent, x_s), perm
 
 
-def _softmin_cloud(eps, C_xy, h_y, p=2, impl="auto"):
-    x, y = C_xy[0], C_xy[1]
-    return softmin_points(eps, (x, y), h_y, p=p, impl=impl)
+def _scan_iterations(softmin_fns, carry, eps_seg, rho, h_builders, debias, dtype):
+    """Generic symmetric-update scan: softmin_fns/h_builders describe the
+    four problems (xy, yx, xx, yy)."""
+    sm_xy, sm_yx, sm_xx, sm_yy = softmin_fns
+    eps_arr = jnp.asarray(eps_seg, dtype=dtype)
+    damp_arr = jnp.asarray([dampening(e, rho) for e in eps_seg], dtype=dtype)
+    a_log, b_log = h_builders
 
+    def body(carry, eps_damp):
+        eps, damp = eps_damp
+        f_ba, g_ab, f_aa, g_bb = carry
+        ft_ba = damp * sm_xy(eps, b_log + g_ab / eps)
+        gt_ab = damp * sm_yx(eps, a_log + f_ba / eps)
+        if debias:
+            ft_aa = damp * sm_xx(eps, a_log + f_aa / eps)
+            gt_bb = damp * sm_yy(eps, b_log + g_bb / eps)
+        f_ba = 0.5 * (f_ba + ft_ba)
+        g_ab = 0.5 * (g_ab + gt_ab)
+        if debias:
+            f_aa = 0.5 * (f_aa + ft_aa)
+            g_bb = 0.5 * (g_bb + gt_bb)
+        return (f_ba, g_ab, f_aa, g_bb), None
 
-def _extrapolate(f_ba, g_ab, eps, damping, C_xy, b_log, C_xy_fine, p=2, impl="auto"):
-    """Analytic coarse-to-fine extrapolation (reference ``:533-544``):
-    evaluate the coarse softmin on the fine target points."""
-    yd = C_xy[1]  # coarse source points
-    x_fine = C_xy_fine[0]  # fine target points
-    h = lax.stop_gradient(b_log + g_ab / eps)
-    return damping * softmin_points(eps, (x_fine, yd), h, p=p, impl=impl)
+    carry, _ = lax.scan(body, carry, (eps_arr, damp_arr))
+    return carry
 
 
 def sinkhorn_multiscale(
@@ -119,16 +167,18 @@ def sinkhorn_multiscale(
     labels_y=None,
     verbose=False,
     impl="auto",
+    block_size="auto",
+    cap=None,
     target_clusters=2000,
     **kwargs,
 ):
     """Two-scale Sinkhorn divergence on unbatched clouds ``x (N,D)``, ``y (M,D)``.
 
     Fully jit- and grad-compatible (pass ``diameter=`` under tracing).
-    Follows the reference's scale schedule: default
-    ``cluster_scale = diameter / (sqrt(D) * 2000**(1/D))``
-    (``sinkhorn_samples.py:585``) and a jump at the first index ``i + 1``
-    with ``cluster_scale**p > eps_list[i + 2]`` (``:593-597``).
+    ``truncate`` controls the block-sparse pruning margin (reference
+    default 5); ``truncate=None`` disables pruning (exact fine phase).
+    ``cap`` bounds the number of visited column tiles per row tile
+    (default: an eighth of the tiles).
     """
     if cost is not None:
         raise NotImplementedError(
@@ -140,6 +190,8 @@ def sinkhorn_multiscale(
             "User-supplied cluster labels are not supported by the "
             "fixed-block multiscale backend; use cluster_scale instead."
         )
+    if p == 1 and truncate is not None:
+        truncate = None  # p=1 pruning bound not wired yet: stay exact.
 
     N, D = x.shape
     M, _ = y.shape
@@ -149,22 +201,30 @@ def sinkhorn_multiscale(
     )
 
     if cluster_scale is None:
-        cluster_scale = diameter / (math.sqrt(D) * target_clusters ** (1 / D))
+        cluster_scale = diameter / (math.sqrt(D) * 2000 ** (1 / D))
 
-    block_x = max(1, _cdiv(N, target_clusters))
-    block_y = max(1, _cdiv(M, target_clusters))
+    if block_size == "auto":
+        # Largest power-of-two divisor of TILE that keeps >= target_clusters
+        # coarse blocks (mirrors the reference's ~2000-cluster target):
+        block_size = 1
+        while (
+            block_size * 2 <= TILE
+            and max(N, M) // (block_size * 2) >= target_clusters
+        ):
+            block_size *= 2
 
     (aw_c, a_s), (x_c, x_s), perm_x = spatial_sort_blocks(
-        a, x, cluster_scale, diameter, block_x
+        a, x, cluster_scale, diameter, block_size
     )
     (bw_c, b_s), (y_c, y_s), perm_y = spatial_sort_blocks(
-        b, y, cluster_scale, diameter, block_y
+        b, y, cluster_scale, diameter, block_size
     )
 
-    jumps = [len(eps_list) - 1]
+    # Jump index (reference ``:593-597``):
+    jump = len(eps_list) - 1
     for i, e in enumerate(eps_list[2:]):
         if cluster_scale**p > e:
-            jumps = [i + 1]
+            jump = i + 1
             break
 
     if verbose:
@@ -176,60 +236,151 @@ def sinkhorn_multiscale(
             "Successive scales : ",
             ", ".join(f"{e ** (1 / p):.3f}" for e in eps_list),
         )
-
-    softmin = partial(_softmin_cloud, p=p, impl=impl)
-    extrapolate = partial(_extrapolate, p=p, impl=impl)
+        print(f"Jump from coarse to fine after iteration {jump}.")
 
     sg = lax.stop_gradient
-    a_logs = [log_weights(aw_c), log_weights(a_s)]
-    b_logs = [log_weights(bw_c), log_weights(b_s)]
+    dtype = x_s.dtype
+    a_log_c, b_log_c = log_weights(aw_c), log_weights(bw_c)
+    a_log_f, b_log_f = log_weights(a_s), log_weights(b_s)
 
-    C_xxs = [(x_c, sg(x_c)), (x_s, sg(x_s))] if debias else None
-    C_yys = [(y_c, sg(y_c)), (y_s, sg(y_s))] if debias else None
-    C_xys = [(x_c, sg(y_c)), (x_s, sg(y_s))]
-    C_yxs = [(y_c, sg(x_c)), (y_s, sg(x_s))]
+    sm = partial(softmin_points, p=p, impl=impl)
+    x_cd, y_cd = sg(x_c), sg(y_c)
+    x_sd, y_sd = sg(x_s), sg(y_s)
 
-    def no_truncation(C_xy, C_yx, C_xy_f, C_yx_f, f, g, eps, truncate=None, cost=None):
-        # Exact evaluation: keep all fine-scale blocks (block-sparse
-        # truncation is wired in via ops/block_sparse.py when enabled).
-        return C_xy_f, C_yx_f
+    # --- Coarse phase (detached) ------------------------------------------------
+    eps0 = eps_list[0]
+    damp0 = dampening(eps0, rho)
+    g_ab = damp0 * sm(eps0, (y_cd, x_cd), a_log_c)
+    f_ba = damp0 * sm(eps0, (x_cd, y_cd), b_log_c)
+    if debias:
+        f_aa = damp0 * sm(eps0, (x_cd, x_cd), a_log_c)
+        g_bb = damp0 * sm(eps0, (y_cd, y_cd), b_log_c)
+    else:
+        f_aa, g_bb = jnp.zeros_like(f_ba), jnp.zeros_like(g_ab)
 
-    f_aa, g_bb, g_ab, f_ba = sinkhorn_loop(
-        softmin,
-        a_logs,
-        b_logs,
-        C_xxs,
-        C_yys,
-        C_xys,
-        C_yxs,
-        eps_list,
-        rho,
-        jumps=jumps,
-        kernel_truncation=no_truncation,
-        truncate=truncate,
-        cost=None,
-        extrapolate=extrapolate,
-        debias=debias,
+    coarse_fns = (
+        lambda e, h: sm(e, (x_cd, y_cd), h),
+        lambda e, h: sm(e, (y_cd, x_cd), h),
+        lambda e, h: sm(e, (x_cd, x_cd), h),
+        lambda e, h: sm(e, (y_cd, y_cd), h),
     )
+    carry = _scan_iterations(
+        coarse_fns,
+        (f_ba, g_ab, f_aa, g_bb),
+        eps_list[: jump + 1],
+        rho,
+        (a_log_c, b_log_c),
+        debias,
+        dtype,
+    )
+    f_ba, g_ab, f_aa, g_bb = carry
+
+    eps_j = eps_list[jump]
+    damp_j = dampening(eps_j, rho)
+    last_is_jump = jump == len(eps_list) - 1
+
+    # --- Extrapolation to the fine cloud (reference ``:533-544``) ---------------
+    # The cross-updates must use the *previous* iterates in parallel.
+    # On the last-iteration jump, gradients flow through the fine points.
+    x_e = x_s if last_is_jump else x_sd
+    y_e = y_s if last_is_jump else y_sd
+    f_ba_f = damp_j * sm(eps_j, (x_e, y_cd), sg(b_log_c + g_ab / eps_j))
+    g_ab_f = damp_j * sm(eps_j, (y_e, x_cd), sg(a_log_c + f_ba / eps_j))
+    if debias:
+        f_aa_f = damp_j * sm(eps_j, (x_e, x_cd), sg(a_log_c + f_aa / eps_j))
+        g_bb_f = damp_j * sm(eps_j, (y_e, y_cd), sg(b_log_c + g_bb / eps_j))
+    else:
+        f_aa_f, g_bb_f = jnp.zeros_like(f_ba_f), jnp.zeros_like(g_ab_f)
+
+    if not last_is_jump:
+        # --- Kernel truncation: tile masks from the extrapolated potentials ----
+        if truncate is not None:
+            aw, bw = sg(a_s), sg(b_s)
+            mask_xy = build_tile_masks(
+                x_sd, y_sd, sg(f_ba_f), sg(g_ab_f), eps_j, p, truncate, TILE,
+                cap=cap, w_x=aw, w_y=bw,
+            )
+            if debias:
+                mask_xx = build_tile_masks(
+                    x_sd, x_sd, sg(f_aa_f), sg(f_aa_f), eps_j, p, truncate, TILE,
+                    cap=cap, w_x=aw, w_y=aw,
+                )
+                mask_yy = build_tile_masks(
+                    y_sd, y_sd, sg(g_bb_f), sg(g_bb_f), eps_j, p, truncate, TILE,
+                    cap=cap, w_x=bw, w_y=bw,
+                )
+
+            def fine_softmin(e, pts, h, mask):
+                return softmin_sparse(e, (*pts, mask), h, p=p, block=TILE)
+
+            fine_fns_d = (
+                lambda e, h: fine_softmin(e, (x_sd, y_sd), h, mask_xy),
+                lambda e, h: fine_softmin(e, (y_sd, x_sd), h, mask_xy.transpose()),
+                lambda e, h: fine_softmin(e, (x_sd, x_sd), h, mask_xx) if debias else None,
+                lambda e, h: fine_softmin(e, (y_sd, y_sd), h, mask_yy) if debias else None,
+            )
+            fine_fns_g = (
+                lambda e, h: fine_softmin(e, (x_s, y_sd), h, mask_xy),
+                lambda e, h: fine_softmin(e, (y_s, x_sd), h, mask_xy.transpose()),
+                lambda e, h: fine_softmin(e, (x_s, x_sd), h, mask_xx) if debias else None,
+                lambda e, h: fine_softmin(e, (y_s, y_sd), h, mask_yy) if debias else None,
+            )
+        else:
+            fine_fns_d = (
+                lambda e, h: sm(e, (x_sd, y_sd), h),
+                lambda e, h: sm(e, (y_sd, x_sd), h),
+                lambda e, h: sm(e, (x_sd, x_sd), h),
+                lambda e, h: sm(e, (y_sd, y_sd), h),
+            )
+            fine_fns_g = (
+                lambda e, h: sm(e, (x_s, y_sd), h),
+                lambda e, h: sm(e, (y_s, x_sd), h),
+                lambda e, h: sm(e, (x_s, x_sd), h),
+                lambda e, h: sm(e, (y_s, y_sd), h),
+            )
+
+        # --- Fine iterations (detached) -----------------------------------------
+        carry = _scan_iterations(
+            fine_fns_d,
+            (f_ba_f, g_ab_f, f_aa_f, g_bb_f),
+            eps_list[jump + 1:],
+            rho,
+            (a_log_f, b_log_f),
+            debias,
+            dtype,
+        )
+        f_ba_f, g_ab_f, f_aa_f, g_bb_f = carry
+
+        # --- Differentiable last extrapolation ----------------------------------
+        eps_last = eps_list[-1]
+        damp = dampening(eps_last, rho)
+        sm_xy, sm_yx, sm_xx, sm_yy = fine_fns_g
+        f_new = damp * sm_xy(eps_last, sg(b_log_f + g_ab_f / eps_last))
+        g_new = damp * sm_yx(eps_last, sg(a_log_f + f_ba_f / eps_last))
+        if debias:
+            f_aa_f = damp * sm_xx(eps_last, sg(a_log_f + f_aa_f / eps_last))
+            g_bb_f = damp * sm_yy(eps_last, sg(b_log_f + g_bb_f / eps_last))
+        f_ba_f, g_ab_f = f_new, g_new
 
     out = sinkhorn_cost(
         eps,
         rho,
         a_s,
         b_s,
-        f_aa,
-        g_bb,
-        g_ab,
-        f_ba,
+        f_aa_f,
+        g_bb_f,
+        g_ab_f,
+        f_ba_f,
         batch=False,
         debias=debias,
         potentials=potentials,
     )
 
     if potentials:
-        # Drop padding and de-sort back to the user's original point order:
+        # De-sort back to the user's point order; pad slots map past N and
+        # are dropped by the scatter:
         F_x, G_y = out
-        f_out = jnp.zeros((N,), F_x.dtype).at[perm_x].set(F_x[: perm_x.shape[0]])
-        g_out = jnp.zeros((M,), G_y.dtype).at[perm_y].set(G_y[: perm_y.shape[0]])
+        f_out = jnp.zeros((N,), F_x.dtype).at[perm_x].set(F_x, mode="drop")
+        g_out = jnp.zeros((M,), G_y.dtype).at[perm_y].set(G_y, mode="drop")
         return f_out, g_out
     return out

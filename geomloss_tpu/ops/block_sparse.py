@@ -1,0 +1,484 @@
+r"""Block-sparse streaming kernels: the TPU kernel-truncation engine.
+
+The reference prunes fine-scale Sinkhorn iterations with KeOps
+block-sparse "ranges" built from ragged voxel clusters
+(``_legacy/sinkhorn_samples.py:493-530``). The TPU-native formulation
+works at the granularity of **fixed kernel tiles** over spatially-sorted
+points:
+
+* each row-tile ``I`` (``block_n`` sorted points) precomputes a list of
+  column-tiles ``cols[I]`` it must visit, selected by a keep-score
+  ``max_I f + max_J g - C_lb(I, J) + truncate * eps`` where ``C_lb`` is a
+  rigorous lower bound on the pairwise cost between the two tiles
+  (centroid distance minus radii);
+* the Pallas kernels receive ``cols``/``counts`` as scalar-prefetch
+  operands: the grid's inner dimension is a *static cap* on the number of
+  visited tiles, the index map gathers the right ``y`` tile for each step,
+  and steps beyond ``counts[I]`` are masked out (their index map repeats
+  the previous tile, so no DMA is issued).
+
+The static cap makes shapes jit-stable; when the true neighbor count
+exceeds it, we keep the highest-scoring tiles (the truncation is a
+controlled approximation in the reference as well).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from typing import NamedTuple
+
+NEG_INF = -1e30
+
+__all__ = [
+    "tile_stats",
+    "build_tile_cols",
+    "build_tile_masks",
+    "TileMask",
+    "lse_sparse",
+    "gibbs_apply_sparse",
+    "softmin_sparse",
+]
+
+
+class TileMask(NamedTuple):
+    """Block-sparsity pattern of a truncated pairwise interaction.
+
+    ``cols/counts`` drive row-major traversal (reduce over y for each x
+    tile); ``colsT/countsT`` drive the transposed traversal, needed by the
+    backward pass and by the yx-direction softmin.
+    """
+
+    cols: jnp.ndarray  # (N/bn, cap) int32
+    counts: jnp.ndarray  # (N/bn,) int32
+    colsT: jnp.ndarray  # (M/bm, capT) int32
+    countsT: jnp.ndarray  # (M/bm,) int32
+
+    def transpose(self):
+        return TileMask(
+            cols=self.colsT, counts=self.countsT,
+            colsT=self.cols, countsT=self.counts,
+        )
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _pad_axis(arr, axis, target, value=0.0):
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, target - arr.shape[axis])
+    if pad[axis][1] == 0:
+        return arr
+    return jnp.pad(arr, pad, constant_values=value)
+
+
+def tile_stats(x, block):
+    """Per-tile centroids and radii of a (padded) sorted point cloud.
+
+    Args:
+        x: ``(N, D)`` with ``N`` a multiple of ``block``.
+
+    Returns:
+        centroids ``(N/block, D)``, radii ``(N/block,)``.
+    """
+    N, D = x.shape
+    nt = N // block
+    xt = x.reshape(nt, block, D)
+    cent = xt.mean(axis=1)
+    rad = jnp.sqrt(((xt - cent[:, None, :]) ** 2).sum(-1)).max(axis=1)
+    return cent, rad
+
+
+def build_tile_cols(
+    x, y, f, g, eps, p, truncate, block_n, block_m, cap=None
+):
+    """Keep-score column lists for the truncated softmin.
+
+    Args:
+        x: ``(N, D)`` sorted/padded sources; y: ``(M, D)`` sorted/padded targets.
+        f: ``(N,)`` dual potential on x; g: ``(M,)`` dual potential on y.
+        eps: temperature; truncate: keep margin (reference default 5).
+        block_n, block_m: kernel tile sizes (must divide N and M).
+        cap: static maximum number of visited column tiles per row tile
+            (default: ``max(4, nJ // 8)``).
+
+    Returns:
+        ``cols (nI, cap) int32``, ``counts (nI,) int32``.
+    """
+    nI = x.shape[0] // block_n
+    nJ = y.shape[0] // block_m
+    if cap is None:
+        cap = max(4, nJ // 8)
+    cap = min(cap, nJ)
+
+    cx, rx = tile_stats(x, block_n)
+    cy, ry = tile_stats(y, block_m)
+    f_max = f.reshape(nI, block_n).max(axis=1)
+    g_max = g.reshape(nJ, block_m).max(axis=1)
+
+    dist = jnp.sqrt(
+        jnp.clip(((cx[:, None, :] - cy[None, :, :]) ** 2).sum(-1), min=1e-12)
+    )
+    d_lb = jnp.maximum(dist - rx[:, None] - ry[None, :], 0.0)
+    C_lb = d_lb**2 / 2 if p == 2 else d_lb
+
+    # keep score > 0 <=> tile may contain pairs with f + g > C - truncate*eps:
+    score = f_max[:, None] + g_max[None, :] - C_lb + truncate * eps  # (nI, nJ)
+
+    vals, idx = lax.top_k(score, cap)  # (nI, cap), descending
+    counts = jnp.maximum((vals > 0).sum(axis=1), 1).astype(jnp.int32)
+    # Pad invalid slots by repeating the best tile (no extra DMA):
+    cols = jnp.where(vals > 0, idx, idx[:, :1]).astype(jnp.int32)
+    return cols, counts
+
+
+def _cols_from_score(score, cap):
+    cap = min(cap, score.shape[1])
+    vals, idx = lax.top_k(score, cap)
+    counts = jnp.maximum((vals > 0).sum(axis=1), 1).astype(jnp.int32)
+    cols = jnp.where(vals > 0, idx, idx[:, :1]).astype(jnp.int32)
+    return cols, counts
+
+
+def build_tile_masks(x, y, f, g, eps, p, truncate, block, cap=None, w_x=None, w_y=None):
+    """Both traversal directions of the truncation pattern, from one score.
+
+    ``block`` is used for both row and column tiles (so a cloud can appear
+    on either side of a problem with a single padding constraint).
+    When point weights ``w_x``/``w_y`` are given, zero-weight (padding)
+    points are excluded from the potential bounds and pure-padding tiles
+    are never kept.
+    """
+    nI = x.shape[0] // block
+    nJ = y.shape[0] // block
+    if cap is None:
+        cap = max(4, nJ // 8)
+
+    cx, rx = tile_stats(x, block)
+    cy, ry = tile_stats(y, block)
+
+    def _masked_max(v, w, nt):
+        v = v.reshape(nt, block)
+        if w is None:
+            return v.max(axis=1), jnp.ones((nt,), bool)
+        wt = w.reshape(nt, block)
+        has_mass = (wt > 0).any(axis=1)
+        v = jnp.where(wt > 0, v, NEG_INF)
+        return v.max(axis=1), has_mass
+
+    f_max, x_mass = _masked_max(f, w_x, nI)
+    g_max, y_mass = _masked_max(g, w_y, nJ)
+
+    dist = jnp.sqrt(
+        jnp.clip(((cx[:, None, :] - cy[None, :, :]) ** 2).sum(-1), min=1e-12)
+    )
+    d_lb = jnp.maximum(dist - rx[:, None] - ry[None, :], 0.0)
+    C_lb = d_lb**2 / 2 if p == 2 else d_lb
+    score = f_max[:, None] + g_max[None, :] - C_lb + truncate * eps  # (nI, nJ)
+    score = jnp.where(x_mass[:, None] & y_mass[None, :], score, NEG_INF)
+
+    cols, counts = _cols_from_score(score, cap)
+    colsT, countsT = _cols_from_score(score.T, cap)
+    return TileMask(cols=cols, counts=counts, colsT=colsT, countsT=countsT)
+
+
+# ==============================================================================
+#  Sparse streaming LSE
+# ==============================================================================
+
+
+def _lse_sparse_kernel(
+    cols_ref, counts_ref, eps_ref, xT_ref, yT_ref, h_ref, sqx_ref,
+    o_ref, m_ref, s_ref, *, p,
+):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        s_ref[:] = jnp.zeros_like(s_ref)
+
+    i = pl.program_id(0)
+
+    @pl.when(j < counts_ref[i])
+    def _compute():
+        eps = eps_ref[0]
+        xT = xT_ref[:]
+        yT = yT_ref[:]
+        h = h_ref[:]
+        scores = lax.dot_general(
+            xT, yT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if p == 2:
+            sqy_h = 0.5 * jnp.sum(yT * yT, axis=0, keepdims=True)
+            arg = (h - sqy_h / eps) + scores / eps
+        else:
+            sqx = sqx_ref[:]
+            sqy = jnp.sum(yT * yT, axis=0, keepdims=True)
+            d = jnp.sqrt(jnp.maximum(sqx + sqy - 2.0 * scores, 1e-8))
+            arg = h - d / eps
+        m_prev = m_ref[:]
+        blk_max = jnp.max(arg, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, blk_max)
+        s_ref[:] = s_ref[:] * jnp.exp(m_prev - m_new) + jnp.sum(
+            jnp.exp(arg - m_new), axis=1, keepdims=True
+        )
+        m_ref[:] = m_new
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        o_ref[:] = m_ref[:] + jnp.log(s_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("p", "block_n", "block_m"))
+def lse_sparse(x, y, h, eps, cols, counts, p=2, block_n=256, block_m=512):
+    """Truncated ``log sum_j exp(h_j - C_p/eps)``: only the column tiles in
+    ``cols`` are visited. Shapes: x ``(N, D)``, y ``(M, D)`` with N, M
+    multiples of the tile sizes; cols ``(N/block_n, cap)``.
+    """
+    N, D = x.shape
+    M, _ = y.shape
+    assert N % block_n == 0 and M % block_m == 0
+    nI, cap = cols.shape
+
+    f32 = jnp.float32
+    xT = x.astype(f32).T
+    yT = y.astype(f32).T
+    h2 = h.astype(f32)[None, :]
+    sqx = ((x.astype(f32) ** 2).sum(-1))[:, None]
+    eps_arr = jnp.asarray(eps, f32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # cols, counts, eps
+        grid=(nI, cap),
+        in_specs=[
+            pl.BlockSpec((D, block_n), lambda i, j, cols, counts, eps: (0, i)),
+            pl.BlockSpec(
+                (D, block_m), lambda i, j, cols, counts, eps: (0, cols[i, j])
+            ),
+            pl.BlockSpec(
+                (1, block_m), lambda i, j, cols, counts, eps: (0, cols[i, j])
+            ),
+            pl.BlockSpec((block_n, 1), lambda i, j, cols, counts, eps: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_n, 1), lambda i, j, cols, counts, eps: (i, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_n, 1), f32),
+            pltpu.VMEM((block_n, 1), f32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_lse_sparse_kernel, p=p),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, 1), f32),
+        interpret=_interpret(),
+    )(cols, counts, eps_arr, xT, yT, h2, sqx)
+
+    out = out[:, 0]
+    if p == 2:
+        out = out - 0.5 * (x.astype(f32) ** 2).sum(-1) / jnp.asarray(eps, f32)
+    return out
+
+
+# ==============================================================================
+#  Sparse streaming Gibbs matvec (for the VJP of the truncated softmin)
+# ==============================================================================
+
+
+def _apply_sparse_kernel(
+    cols_ref, counts_ref, eps_ref, xT_ref, yT_ref, phi_ref, psi_ref, sqx_ref,
+    VT_ref, o_ref, acc_ref, *, p, kind,
+):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    i = pl.program_id(0)
+
+    @pl.when(j < counts_ref[i])
+    def _compute():
+        eps = eps_ref[0]
+        xT = xT_ref[:]
+        yT = yT_ref[:]
+        scores = lax.dot_general(
+            xT, yT,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if p == 2 and kind != "energy":
+            w = jnp.exp(phi_ref[:] + psi_ref[:] + scores / eps)
+        else:
+            sqx = sqx_ref[:]
+            sqy = jnp.sum(yT * yT, axis=0, keepdims=True)
+            d = jnp.sqrt(jnp.maximum(sqx + sqy - 2.0 * scores, 1e-8))
+            if kind == "energy":
+                w = -d
+            else:
+                w = jnp.exp(phi_ref[:] + psi_ref[:] - d / eps)
+                if kind == "gibbs_grad":
+                    w = w / jnp.maximum(d, 1e-4)
+        acc_ref[:] += lax.dot_general(
+            w, VT_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p", "kind", "block_n", "block_m")
+)
+def gibbs_apply_sparse(
+    x, y, phi, psi, V, eps, cols, counts, p=2, kind="gibbs",
+    block_n=256, block_m=512,
+):
+    """Truncated ``O_i = sum_j w_ij V_j`` over the column tiles in ``cols``.
+    Same weight kinds as :func:`geomloss_tpu.ops.softmin.gibbs_apply`."""
+    N, D = x.shape
+    M, _ = y.shape
+    C = V.shape[-1]
+    assert N % block_n == 0 and M % block_m == 0
+    nI, cap = cols.shape
+
+    f32 = jnp.float32
+    x32, y32 = x.astype(f32), y.astype(f32)
+    eps32 = jnp.asarray(eps, f32)
+
+    if p == 2 and kind != "energy":
+        phi_eff = phi.astype(f32) - 0.5 * (x32**2).sum(-1) / eps32
+        psi_eff = psi.astype(f32) - 0.5 * (y32**2).sum(-1) / eps32
+    else:
+        phi_eff, psi_eff = phi.astype(f32), psi.astype(f32)
+
+    xT, yT = x32.T, y32.T
+    phi_col = phi_eff[:, None]
+    psi_row = psi_eff[None, :]
+    sqx = ((x32**2).sum(-1))[:, None]
+    VT = V.astype(f32).T
+    eps_arr = eps32.reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nI, cap),
+        in_specs=[
+            pl.BlockSpec((D, block_n), lambda i, j, c, n, e: (0, i)),
+            pl.BlockSpec((D, block_m), lambda i, j, c, n, e: (0, c[i, j])),
+            pl.BlockSpec((block_n, 1), lambda i, j, c, n, e: (i, 0)),
+            pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, c[i, j])),
+            pl.BlockSpec((block_n, 1), lambda i, j, c, n, e: (i, 0)),
+            pl.BlockSpec((C, block_m), lambda i, j, c, n, e: (0, c[i, j])),
+        ],
+        out_specs=pl.BlockSpec((block_n, C), lambda i, j, c, n, e: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_n, C), f32)],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_apply_sparse_kernel, p=p, kind=kind),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, C), f32),
+        interpret=_interpret(),
+    )(cols, counts, eps_arr, xT, yT, phi_col, psi_row, sqx, VT)
+
+    return out
+
+
+# ==============================================================================
+#  Differentiable truncated softmin
+# ==============================================================================
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _lse_sparse_diff(x, y, h, eps, cols, counts, colsT, countsT, p, block):
+    return lse_sparse(
+        x, y, h, eps, cols, counts, p=p, block_n=block, block_m=block
+    )
+
+
+def _lse_sparse_fwd(x, y, h, eps, cols, counts, colsT, countsT, p, block):
+    out = lse_sparse(
+        x, y, h, eps, cols, counts, p=p, block_n=block, block_m=block
+    )
+    return out, (x, y, h, eps, cols, counts, colsT, countsT, out)
+
+
+def _lse_sparse_bwd(p, block, res, u):
+    # Same analytic VJP as the dense streaming softmin
+    # (ops/softmin.py::_lse_points_bwd), restricted to the kept tiles.
+    x, y, h, eps, cols, counts, colsT, countsT, out = res
+    phi = -out
+    psi = h
+    kind = "gibbs" if p == 2 else "gibbs_grad"
+
+    ones_y = jnp.ones((y.shape[0], 1), dtype=y.dtype)
+    Vy = jnp.concatenate([ones_y, y], axis=-1)
+    R = gibbs_apply_sparse(
+        x, y, phi, psi, Vy, eps, cols, counts,
+        p=p, kind=kind, block_n=block, block_m=block,
+    )
+    dx = -(u / eps)[:, None] * (x * R[:, :1] - R[:, 1:])
+
+    ones_x = jnp.ones((x.shape[0], 1), dtype=x.dtype)
+    Vx = u[:, None] * jnp.concatenate([ones_x, x], axis=-1)
+    Tq = gibbs_apply_sparse(
+        y, x, psi, phi, Vx, eps, colsT, countsT,
+        p=p, kind=kind, block_n=block, block_m=block,
+    )
+    dy = -(1.0 / eps) * (y * Tq[:, :1] - Tq[:, 1:])
+
+    if p == 1:
+        t = gibbs_apply_sparse(
+            y, x, psi, phi, u[:, None], eps, colsT, countsT,
+            p=p, kind="gibbs", block_n=block, block_m=block,
+        )
+        dh = t[:, 0]
+    else:
+        dh = Tq[:, 0]
+
+    return (
+        dx.astype(x.dtype),
+        dy.astype(y.dtype),
+        dh.astype(h.dtype),
+        jnp.zeros_like(jnp.asarray(eps)),
+        None,
+        None,
+        None,
+        None,
+    )
+
+
+_lse_sparse_diff.defvjp(_lse_sparse_fwd, _lse_sparse_bwd)
+
+
+def softmin_sparse(eps, C_xy, h, p=2, block=256):
+    """Truncated softmin: drop-in for the multiscale fine phase.
+
+    ``C_xy = (x, y, mask)`` where ``mask`` is a :class:`TileMask` for the
+    (x-rows, y-cols) direction. The yx direction uses ``mask.transpose()``.
+    """
+    x, y, mask = C_xy
+    eps = jnp.asarray(eps, dtype=jnp.float32)
+    out = _lse_sparse_diff(
+        x, y, h, eps, mask.cols, mask.counts, mask.colsT, mask.countsT, p, block
+    )
+    return -eps * out

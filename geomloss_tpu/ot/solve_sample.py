@@ -226,13 +226,13 @@ class OTResultSample(OTResult):
         average target position $\sum_j \pi_{ij} y_j / \sum_j \pi_{ij}$."""
         mass = self.density_operator @ self._b  # (N,)
         targets = self.density_operator @ (self._b[:, None] * self._X_b)  # (N, D)
-        return targets / jnp.maximum(mass, 1e-40)[:, None]
+        return targets / jnp.maximum(mass, 1e-30)[:, None]
 
     def _b_to_a(self):
         r"""Barycentric map from the target to the source points."""
         mass = self.density_operator.T @ self._a  # (M,)
         sources = self.density_operator.T @ (self._a[:, None] * self._X_a)  # (M, D)
-        return sources / jnp.maximum(mass, 1e-40)[:, None]
+        return sources / jnp.maximum(mass, 1e-30)[:, None]
 
 
 @convert_inputs("X_a", "X_b", "a", "b")

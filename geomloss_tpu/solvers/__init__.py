@@ -1,5 +1,10 @@
 """Abstract solvers: annealing schedules, Sinkhorn loops, barycenters."""
 
+from .barycenters import barycenter_iteration, sinkhorn_barycenter_loop
+from .sinkhorn_ot import sinkhorn_initialization
+from .sinkhorn_ot import sinkhorn_loop as sinkhorn_loop_ot
+from .unbalanced import dot_products
+from .unbalanced import sinkhorn_cost as sinkhorn_cost_ot
 from .annealing import (
     annealing_parameters,
     dampening,
@@ -26,4 +31,10 @@ __all__ = [
     "sinkhorn_cost",
     "sinkhorn_loop",
     "unbalanced_weight",
+    "sinkhorn_loop_ot",
+    "sinkhorn_initialization",
+    "sinkhorn_cost_ot",
+    "dot_products",
+    "sinkhorn_barycenter_loop",
+    "barycenter_iteration",
 ]

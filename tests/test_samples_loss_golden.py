@@ -192,15 +192,40 @@ def test_multiscale_backend_close_to_tensorized():
     np.testing.assert_allclose(multi, dense, rtol=0.1, atol=5e-4)
 
 
-def test_multiscale_exact_with_singleton_clusters():
-    # With a tiny cluster scale every point is its own cluster: the coarse
-    # problem coincides with the fine one and multiscale must agree with
-    # the tensorized backend to solver precision.
-    a, x, b, y = _clouds(seed=12, N=120, M=130)
-    kw = dict(loss="sinkhorn", p=2, blur=0.05, cluster_scale=1e-4)
-    dense = _run_ours(dict(backend="tensorized", loss="sinkhorn", p=2, blur=0.05), a, x, b, y)
-    multi = _run_ours(dict(backend="multiscale", **kw), a, x, b, y)
-    np.testing.assert_allclose(multi, dense, rtol=1e-6, atol=1e-9)
+def test_multiscale_truncation_consistency():
+    # The block-sparse truncated fine phase must agree with the exact
+    # (truncate=None) fine phase to high accuracy, and both must be close
+    # to the tensorized reference value.
+    from geomloss_tpu.models.multiscale import sinkhorn_multiscale
+
+    a, x, b, y = _clouds(seed=12, N=600, M=640)
+    aj, xj, bj, yj = map(jnp.asarray, (a, x, b, y))
+    kw = dict(p=2, blur=0.05, diameter=1.9, scaling=0.7)
+    exact = float(sinkhorn_multiscale(aj, xj, bj, yj, truncate=None, **kw))
+    trunc = float(sinkhorn_multiscale(aj, xj, bj, yj, truncate=5, **kw))
+    np.testing.assert_allclose(trunc, exact, rtol=1e-3, atol=1e-7)
+
+    dense = _run_ours(
+        dict(backend="tensorized", loss="sinkhorn", **kw), a, x, b, y
+    )
+    np.testing.assert_allclose(exact, float(dense), rtol=0.1, atol=5e-4)
+
+
+def test_multiscale_truncated_gradients_match_exact():
+    from geomloss_tpu.models.multiscale import sinkhorn_multiscale
+
+    a, x, b, y = _clouds(seed=13, N=500, M=500)
+    aj, xj, bj, yj = map(jnp.asarray, (a, x, b, y))
+    kw = dict(p=2, blur=0.05, diameter=1.9, scaling=0.7)
+    g_exact = jax.grad(
+        lambda x: sinkhorn_multiscale(aj, x, bj, yj, truncate=None, **kw)
+    )(xj)
+    g_trunc = jax.grad(
+        lambda x: sinkhorn_multiscale(aj, x, bj, yj, truncate=5, **kw)
+    )(xj)
+    np.testing.assert_allclose(
+        np.asarray(g_trunc), np.asarray(g_exact), rtol=1e-2, atol=1e-6
+    )
 
 
 def test_two_and_four_arg_forms():
