@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.block_sparse import build_tile_masks, softmin_sparse
+from ..ops.block_sparse import masks_from_coarse, softmin_sparse
 from ..ops.softmin import softmin_points
 from ..solvers.annealing import dampening, scaling_parameters
 from ..solvers.sinkhorn_loop import log_weights, sinkhorn_cost
@@ -44,7 +44,7 @@ __all__ = ["sinkhorn_multiscale", "spatial_sort_blocks"]
 
 #: Kernel tile size of the block-sparse fine phase. Padded cloud sizes are
 #: multiples of this, and the cluster block size divides it.
-TILE = 256
+TILE = 512
 
 
 def _cdiv(a, b):
@@ -170,6 +170,7 @@ def sinkhorn_multiscale(
     block_size="auto",
     cap=None,
     target_clusters=2000,
+    tile=TILE,
     **kwargs,
 ):
     """Two-scale Sinkhorn divergence on unbatched clouds ``x (N,D)``, ``y (M,D)``.
@@ -178,7 +179,7 @@ def sinkhorn_multiscale(
     ``truncate`` controls the block-sparse pruning margin (reference
     default 5); ``truncate=None`` disables pruning (exact fine phase).
     ``cap`` bounds the number of visited column tiles per row tile
-    (default: an eighth of the tiles).
+    (default: a sixteenth of the tiles, at least 8).
     """
     if cost is not None:
         raise NotImplementedError(
@@ -204,20 +205,20 @@ def sinkhorn_multiscale(
         cluster_scale = diameter / (math.sqrt(D) * 2000 ** (1 / D))
 
     if block_size == "auto":
-        # Largest power-of-two divisor of TILE that keeps >= target_clusters
+        # Largest power-of-two divisor of the tile that keeps >= target_clusters
         # coarse blocks (mirrors the reference's ~2000-cluster target):
         block_size = 1
         while (
-            block_size * 2 <= TILE
+            block_size * 2 <= tile
             and max(N, M) // (block_size * 2) >= target_clusters
         ):
             block_size *= 2
 
     (aw_c, a_s), (x_c, x_s), perm_x = spatial_sort_blocks(
-        a, x, cluster_scale, diameter, block_size
+        a, x, cluster_scale, diameter, block_size, pad_multiple=tile
     )
     (bw_c, b_s), (y_c, y_s), perm_y = spatial_sort_blocks(
-        b, y, cluster_scale, diameter, block_size
+        b, y, cluster_scale, diameter, block_size, pad_multiple=tile
     )
 
     # Jump index (reference ``:593-597``):
@@ -295,23 +296,25 @@ def sinkhorn_multiscale(
     if not last_is_jump:
         # --- Kernel truncation: tile masks from the extrapolated potentials ----
         if truncate is not None:
-            aw, bw = sg(a_s), sg(b_s)
-            mask_xy = build_tile_masks(
-                x_sd, y_sd, sg(f_ba_f), sg(g_ab_f), eps_j, p, truncate, TILE,
-                cap=cap, w_x=aw, w_y=bw,
+            # Pointwise keep rule on the coarse potentials/centroids at jump
+            # time (reference ``kernel_truncation``), pooled to kernel tiles:
+            bpt = tile // block_size
+            mask_xy = masks_from_coarse(
+                x_cd, y_cd, f_ba, g_ab, aw_c, bw_c, eps_j, p, truncate, bpt,
+                cap=cap,
             )
             if debias:
-                mask_xx = build_tile_masks(
-                    x_sd, x_sd, sg(f_aa_f), sg(f_aa_f), eps_j, p, truncate, TILE,
-                    cap=cap, w_x=aw, w_y=aw,
+                mask_xx = masks_from_coarse(
+                    x_cd, x_cd, f_aa, f_aa, aw_c, aw_c, eps_j, p, truncate, bpt,
+                    cap=cap,
                 )
-                mask_yy = build_tile_masks(
-                    y_sd, y_sd, sg(g_bb_f), sg(g_bb_f), eps_j, p, truncate, TILE,
-                    cap=cap, w_x=bw, w_y=bw,
+                mask_yy = masks_from_coarse(
+                    y_cd, y_cd, g_bb, g_bb, bw_c, bw_c, eps_j, p, truncate, bpt,
+                    cap=cap,
                 )
 
             def fine_softmin(e, pts, h, mask):
-                return softmin_sparse(e, (*pts, mask), h, p=p, block=TILE)
+                return softmin_sparse(e, (*pts, mask), h, p=p, block=tile)
 
             fine_fns_d = (
                 lambda e, h: fine_softmin(e, (x_sd, y_sd), h, mask_xy),

@@ -191,6 +191,47 @@ def build_tile_masks(x, y, f, g, eps, p, truncate, block, cap=None, w_x=None, w_
     return TileMask(cols=cols, counts=counts, colsT=colsT, countsT=countsT)
 
 
+def masks_from_coarse(
+    cx, cy, f_c, g_c, w_x, w_y, eps, p, truncate, blocks_per_tile, cap=None
+):
+    """Tile masks from the reference's *pointwise* centroid keep rule.
+
+    The reference prunes cluster pairs with
+    ``f_c[k] + g_c[l] > C(c_k, c_l) - truncate * eps``
+    (``_legacy/sinkhorn_samples.py:493-530``) using the coarse potentials.
+    We evaluate the same score on the cluster-block centroids (tight — no
+    tile-radius slack) and max-pool it onto kernel tiles, each of which
+    covers ``blocks_per_tile`` consecutive blocks.
+
+    Args:
+        cx, cy: ``(K_x, D)`` / ``(K_y, D)`` block centroids (sorted order).
+        f_c, g_c: coarse dual potentials on the centroids.
+        w_x, w_y: coarse block weights (zero = padding, never kept).
+        blocks_per_tile: TILE // block_size.
+        cap: static bound on kept column tiles per row tile.
+
+    Returns:
+        :class:`TileMask`.
+    """
+    from .costs import cost_routines
+
+    C = cost_routines[p](cx, cy)  # (K_x, K_y)
+    score = f_c[:, None] + g_c[None, :] - C + truncate * eps
+    valid = (w_x > 0)[:, None] & (w_y > 0)[None, :]
+    score = jnp.where(valid, score, NEG_INF)
+
+    Kx, Ky = score.shape
+    nI, nJ = Kx // blocks_per_tile, Ky // blocks_per_tile
+    score_t = score.reshape(nI, blocks_per_tile, nJ, blocks_per_tile).max(
+        axis=(1, 3)
+    )
+    if cap is None:
+        cap = max(8, nJ // 16)
+    cols, counts = _cols_from_score(score_t, cap)
+    colsT, countsT = _cols_from_score(score_t.T, cap)
+    return TileMask(cols=cols, counts=counts, colsT=colsT, countsT=countsT)
+
+
 # ==============================================================================
 #  Sparse streaming LSE
 # ==============================================================================
