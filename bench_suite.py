@@ -1,0 +1,91 @@
+"""Extended benchmark suite: reproduces the reference's benchmark protocol
+(``examples/performances/plot_benchmarks_samplesloss_3D.py``): loss +
+gradient wall-clock on 3D unit-sphere clouds, N sweep, for the Sinkhorn
+(blur .05), Gaussian MMD (blur .1) and energy-distance losses.
+
+Prints one JSON line per configuration. ``bench.py`` remains the
+single-line driver entry point.
+"""
+
+import json
+import time
+
+import numpy as np
+
+from bench import sphere_cloud
+
+MAXTIME = 60.0  # seconds per config, like the reference's MAXTIME guard
+
+
+def run_config(name, make_step, ns):
+    import jax
+    import jax.numpy as jnp
+
+    for n in ns:
+        x = jnp.asarray(sphere_cloud(n, 0))
+        y = jnp.asarray(sphere_cloud(n, 1))
+        step = make_step(n)
+        try:
+            t0 = time.perf_counter()
+            v, g = step(x, y)
+            sync = float(v) + float(g[0, 0])
+            compile_s = time.perf_counter() - t0
+            reps = 3 if n <= 200_000 else 1
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                v, g = step(x, y)
+                sync = float(v) + float(g[0, 0])
+            dt = (time.perf_counter() - t0) / reps
+        except Exception as e:  # noqa: BLE001 - report and move on
+            print(json.dumps({"metric": f"{name}_N{n}", "error": str(e)[:200]}))
+            continue
+        print(
+            json.dumps(
+                {
+                    "metric": f"{name}_N{n}",
+                    "value": round(dt * 1e3, 2),
+                    "unit": "ms",
+                    "compile_s": round(compile_s, 1),
+                    "loss_value": float(v),
+                }
+            )
+        )
+        if dt > MAXTIME:
+            break
+
+
+def main():
+    import jax
+    from geomloss_tpu import SamplesLoss
+
+    def sinkhorn_step(backend):
+        def make(n):
+            loss = SamplesLoss(
+                "sinkhorn", p=2, blur=0.05, diameter=2.0, scaling=0.5,
+                backend=backend,
+            )
+            return jax.jit(jax.value_and_grad(lambda x, y: loss(x, y)))
+
+        return make
+
+    def kernel_step(name, blur):
+        def make(n):
+            loss = SamplesLoss(name, blur=blur, backend="online")
+            return jax.jit(jax.value_and_grad(lambda x, y: loss(x, y)))
+
+        return make
+
+    run_config(
+        "sinkhorn_multiscale_blur.05",
+        sinkhorn_step("multiscale"),
+        [10_000, 100_000, 1_000_000],
+    )
+    run_config(
+        "sinkhorn_online_blur.05", sinkhorn_step("online"), [10_000, 100_000]
+    )
+    run_config("gaussian_mmd_blur.1", kernel_step("gaussian", 0.1), [10_000, 100_000])
+    run_config("energy_mmd", kernel_step("energy", None), [10_000, 100_000])
+
+
+if __name__ == "__main__":
+    main()

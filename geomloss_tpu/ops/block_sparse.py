@@ -227,6 +227,9 @@ def masks_from_coarse(
     )
     if cap is None:
         cap = max(8, nJ // 16)
+    # The cols array is a scalar-prefetch operand living in SMEM (1 MB):
+    # clamp so each direction stays under ~400 KB.
+    cap = min(cap, max(8, 400_000 // (4 * max(nI, nJ))))
     cols, counts = _cols_from_score(score_t, cap)
     colsT, countsT = _cols_from_score(score_t.T, cap)
     return TileMask(cols=cols, counts=counts, colsT=colsT, countsT=countsT)
