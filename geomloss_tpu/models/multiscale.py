@@ -37,6 +37,7 @@ from jax import lax
 
 from ..ops.block_sparse import masks_from_coarse, softmin_sparse
 from ..ops.softmin import softmin_points
+from ..ops.spatial import hilbert_key, radix_sort_perm
 from ..solvers.annealing import dampening, scaling_parameters
 from ..solvers.sinkhorn_loop import log_weights, sinkhorn_cost
 
@@ -108,7 +109,13 @@ def spatial_sort_blocks(a, x, cluster_scale, diameter, block_size, pad_multiple=
     else:
         x_full, x_full_d, a_full = x, x_d, a
 
-    order = kd_sort_perm(x_full_d, min(block_size, pad_multiple))
+    if Npad > (1 << 18):
+        # XLA's TPU sort network has pathological compile times at this
+        # scale: switch to Hilbert-curve keys + a linear-time radix sort
+        # (slightly looser tiles, O(1) compile size).
+        order = radix_sort_perm(hilbert_key(x_full_d))
+    else:
+        order = kd_sort_perm(x_full_d, min(block_size, pad_multiple))
     a_s, x_s = a_full[order], x_full[order]
     # perm maps sorted slot -> original index (pad slots point past N):
     perm = order
@@ -170,7 +177,7 @@ def sinkhorn_multiscale(
     block_size="auto",
     cap=None,
     target_clusters=2000,
-    tile=TILE,
+    tile="auto",
     **kwargs,
 ):
     """Two-scale Sinkhorn divergence on unbatched clouds ``x (N,D)``, ``y (M,D)``.
@@ -203,6 +210,11 @@ def sinkhorn_multiscale(
 
     if cluster_scale is None:
         cluster_scale = diameter / (math.sqrt(D) * 2000 ** (1 / D))
+
+    if tile == "auto":
+        # Bigger kernel tiles at large N keep the truncation tables within
+        # the SMEM budget and amortize per-tile overheads:
+        tile = TILE if max(N, M) <= (1 << 18) else 2 * TILE
 
     if block_size == "auto":
         # Largest power-of-two divisor of the tile that keeps >= target_clusters
