@@ -9,7 +9,7 @@ clouds, ``solve_grid`` on images/volumes, and the lazily-cached
 
 from .result import LinearOperator, OTResult
 from .solve_matrix import OTResultMatrix, barycenter, solve, solve_batch
-from .solve_sample import (
+from .sample_impl import (
     OTResultSample,
     barycenter_sample,
     solve_sample,
