@@ -36,7 +36,6 @@ NEG_INF = -1e30
 
 __all__ = [
     "tile_stats",
-    "build_tile_cols",
     "build_tile_masks",
     "TileMask",
     "lse_sparse",
@@ -96,49 +95,6 @@ def tile_stats(x, block):
     cent = xt.mean(axis=1)
     rad = jnp.sqrt(((xt - cent[:, None, :]) ** 2).sum(-1)).max(axis=1)
     return cent, rad
-
-
-def build_tile_cols(
-    x, y, f, g, eps, p, truncate, block_n, block_m, cap=None
-):
-    """Keep-score column lists for the truncated softmin.
-
-    Args:
-        x: ``(N, D)`` sorted/padded sources; y: ``(M, D)`` sorted/padded targets.
-        f: ``(N,)`` dual potential on x; g: ``(M,)`` dual potential on y.
-        eps: temperature; truncate: keep margin (reference default 5).
-        block_n, block_m: kernel tile sizes (must divide N and M).
-        cap: static maximum number of visited column tiles per row tile
-            (default: ``max(4, nJ // 8)``).
-
-    Returns:
-        ``cols (nI, cap) int32``, ``counts (nI,) int32``.
-    """
-    nI = x.shape[0] // block_n
-    nJ = y.shape[0] // block_m
-    if cap is None:
-        cap = max(4, nJ // 8)
-    cap = min(cap, nJ)
-
-    cx, rx = tile_stats(x, block_n)
-    cy, ry = tile_stats(y, block_m)
-    f_max = f.reshape(nI, block_n).max(axis=1)
-    g_max = g.reshape(nJ, block_m).max(axis=1)
-
-    dist = jnp.sqrt(
-        jnp.clip(((cx[:, None, :] - cy[None, :, :]) ** 2).sum(-1), min=1e-12)
-    )
-    d_lb = jnp.maximum(dist - rx[:, None] - ry[None, :], 0.0)
-    C_lb = d_lb**2 / 2 if p == 2 else d_lb
-
-    # keep score > 0 <=> tile may contain pairs with f + g > C - truncate*eps:
-    score = f_max[:, None] + g_max[None, :] - C_lb + truncate * eps  # (nI, nJ)
-
-    vals, idx = lax.top_k(score, cap)  # (nI, cap), descending
-    counts = jnp.maximum((vals > 0).sum(axis=1), 1).astype(jnp.int32)
-    # Pad invalid slots by repeating the best tile (no extra DMA):
-    cols = jnp.where(vals > 0, idx, idx[:, :1]).astype(jnp.int32)
-    return cols, counts
 
 
 def _cols_from_score(score, cap):
