@@ -41,6 +41,8 @@ __all__ = [
     "lse_sparse",
     "gibbs_apply_sparse",
     "softmin_sparse",
+    "kernel_matvec_sparse",
+    "masks_from_geometry",
 ]
 
 
@@ -482,3 +484,120 @@ def softmin_sparse(eps, C_xy, h, p=2, block=256):
         x, y, h, eps, mask.cols, mask.counts, mask.colsT, mask.countsT, p, block
     )
     return -eps * out
+
+
+# ==============================================================================
+#  Differentiable truncated kernel matvec (MMD losses)
+# ==============================================================================
+
+
+def masks_from_geometry(x, y, radius, block, cap=None, w_x=None, w_y=None):
+    """Tile masks from a pure distance rule: keep tile pairs whose minimum
+    possible pairwise distance (centroid distance minus radii) is below
+    ``radius``. This is the rigorous version of the reference's
+    MMD truncation (``_legacy/kernel_samples.py:242-256``: centroid
+    distance <= (truncate + cell_diameter) in blur units).
+
+    Zero-weight (padding) tiles are never kept.
+    """
+    nI = x.shape[0] // block
+    nJ = y.shape[0] // block
+    if cap is None:
+        cap = max(8, nJ // 8)
+    cap = min(cap, max(8, 400_000 // (4 * max(nI, nJ))))
+
+    cx, rx = tile_stats(x, block)
+    cy, ry = tile_stats(y, block)
+    dist = jnp.sqrt(
+        jnp.clip(((cx[:, None, :] - cy[None, :, :]) ** 2).sum(-1), min=1e-12)
+    )
+    d_lb = jnp.maximum(dist - rx[:, None] - ry[None, :], 0.0)
+    score = radius - d_lb  # > 0 <=> kept
+
+    def tile_mass(w, nt):
+        if w is None:
+            return jnp.ones((nt,), bool)
+        return (w.reshape(nt, block) > 0).any(axis=1)
+
+    valid = tile_mass(w_x, nI)[:, None] & tile_mass(w_y, nJ)[None, :]
+    score = jnp.where(valid, score, NEG_INF)
+
+    cols, counts = _cols_from_score(score, cap)
+    colsT, countsT = _cols_from_score(score.T, cap)
+    return TileMask(cols=cols, counts=counts, colsT=colsT, countsT=countsT)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _kernel_matvec_sparse(x, y, v, eps, cols, counts, colsT, countsT, p, block):
+    zx = jnp.zeros(x.shape[0], jnp.float32)
+    zy = jnp.zeros(y.shape[0], jnp.float32)
+    return gibbs_apply_sparse(
+        x, y, zx, zy, v[:, None], eps, cols, counts,
+        p=p, kind="gibbs", block_n=block, block_m=block,
+    )[:, 0]
+
+
+def _kernel_matvec_fwd(x, y, v, eps, cols, counts, colsT, countsT, p, block):
+    out = _kernel_matvec_sparse(x, y, v, eps, cols, counts, colsT, countsT, p, block)
+    return out, (x, y, v, eps, cols, counts, colsT, countsT, out)
+
+
+def _kernel_matvec_bwd(p, block, res, u):
+    # O_i = sum_j w_ij v_j with w_ij = exp(-C_p(x_i, y_j)/eps):
+    #   dv_j    = sum_i w_ij u_i                       (transposed apply)
+    #   dx_i    = -(u_i / eps) sum_j w'_ij v_j (x_i - y_j)
+    #   dy_j    = -(1 / eps) sum_i w'_ij u_i (y_j - x_i)
+    # where w' = w for p=2 and w/d for p=1 (gradient of the distance).
+    x, y, v, eps, cols, counts, colsT, countsT, out = res
+    D = x.shape[-1]
+    zx = jnp.zeros(x.shape[0], jnp.float32)
+    zy = jnp.zeros(y.shape[0], jnp.float32)
+    kind = "gibbs" if p == 2 else "gibbs_grad"
+
+    # Row side: R_i = sum_j w'_ij v_j [1, y_j]  -> (N, 1+D)
+    Vy = v[:, None] * jnp.concatenate([jnp.ones((y.shape[0], 1), y.dtype), y], -1)
+    R = gibbs_apply_sparse(
+        x, y, zx, zy, Vy, eps, cols, counts,
+        p=p, kind=kind, block_n=block, block_m=block,
+    )
+    dx = -(u / eps)[:, None] * (x * R[:, :1] - R[:, 1:])
+
+    # Column side: T_j = sum_i w'_ij u_i [1, x_i]  -> (M, 1+D)
+    Ux = u[:, None] * jnp.concatenate([jnp.ones((x.shape[0], 1), x.dtype), x], -1)
+    T = gibbs_apply_sparse(
+        y, x, zy, zx, Ux, eps, colsT, countsT,
+        p=p, kind=kind, block_n=block, block_m=block,
+    )
+    dy = -(v / eps)[:, None] * (y * T[:, :1] - T[:, 1:])
+
+    if p == 1:
+        dv = gibbs_apply_sparse(
+            y, x, zy, zx, u[:, None], eps, colsT, countsT,
+            p=p, kind="gibbs", block_n=block, block_m=block,
+        )[:, 0]
+    else:
+        dv = T[:, 0]
+
+    return (
+        dx.astype(x.dtype),
+        dy.astype(y.dtype),
+        dv.astype(v.dtype),
+        jnp.zeros_like(jnp.asarray(eps)),
+        None,
+        None,
+        None,
+        None,
+    )
+
+
+_kernel_matvec_sparse.defvjp(_kernel_matvec_fwd, _kernel_matvec_bwd)
+
+
+def kernel_matvec_sparse(x, y, v, eps, mask, p=2, block=512):
+    """Differentiable truncated Gibbs-kernel matvec
+    ``O_i = sum_j exp(-C_p(x_i,y_j)/eps) v_j`` over the kept tiles of
+    ``mask`` (gaussian: p=2, eps=blur^2; laplacian: p=1, eps=blur)."""
+    eps = jnp.asarray(eps, jnp.float32)
+    return _kernel_matvec_sparse(
+        x, y, v, eps, mask.cols, mask.counts, mask.colsT, mask.countsT, p, block
+    )
