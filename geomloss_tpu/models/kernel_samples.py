@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.costs import distances, squared_distances
-from ..ops.softmin import gibbs_apply
+from ..ops.softmin import gibbs_matvec
 from ..solvers.sinkhorn_loop import scal
 
 __all__ = [
@@ -99,20 +99,19 @@ _streaming_params = {
 
 
 def _kernel_matvec_streaming(name, blur, x, y, v, impl="auto"):
-    """(K @ v) without materializing K, batched over a leading dim."""
-    p, kind = _streaming_params[name]
-    eps = blur**p if kind == "gibbs" else 1.0
-    zeros_n = jnp.zeros(x.shape[:-1], dtype=x.dtype)
-    zeros_m = jnp.zeros(y.shape[:-1], dtype=y.dtype)
+    """(K @ v) without materializing K, batched over a leading dim.
 
-    def one(xb, yb, zn, zm, vb):
-        return gibbs_apply(
-            xb, yb, zn, zm, vb[:, None], eps, p, kind=kind, impl=impl
-        )[:, 0]
+    Uses the differentiable :func:`gibbs_matvec` (custom VJP) so gradients
+    work on the Pallas path as well."""
+    p, kind = _streaming_params[name]
+    eps = jnp.asarray(blur**p if kind == "gibbs" else 1.0, x.dtype)
+
+    def one(xb, yb, vb):
+        return gibbs_matvec(xb, yb, vb, eps, p, kind, impl)
 
     if x.ndim == 3:
-        return jax.vmap(one)(x, y, zeros_n, zeros_m, v)
-    return one(x, y, zeros_n, zeros_m, v)
+        return jax.vmap(one)(x, y, v)
+    return one(x, y, v)
 
 
 def _kernel_matvec_dense(kernel, blur, x, y, v):

@@ -93,17 +93,22 @@ def spatial_sort_blocks(a, x, cluster_scale, diameter, block_size, pad_multiple=
     sg = lax.stop_gradient
     x_d = sg(x)
 
-    # Pad to pad_multiple * 2^k with far-away zero-weight points:
+    # Pad to pad_multiple * 2^k with zero-weight duplicates of the last
+    # point. Padding coordinates MUST stay in the data range: out-of-range
+    # sentinels produce 1e5-scale exponents whose f32 cancellation NaNs the
+    # folded Gibbs kernels. Zero-weight tiles are excluded from the
+    # truncation masks by the mass checks, so in-range padding costs at
+    # most one extra kept tile.
     Npad = pad_multiple
     while Npad < N:
         Npad *= 2
     if Npad != N:
-        far = x_d.max() + 10.0 * diameter
+        pad_pt = x_d[-1:]
         x_full = jnp.concatenate(
-            [x, jnp.full((Npad - N, D), far, x.dtype)], axis=0
+            [x, jnp.broadcast_to(pad_pt, (Npad - N, D))], axis=0
         )
         x_full_d = jnp.concatenate(
-            [x_d, jnp.full((Npad - N, D), far, x.dtype)], axis=0
+            [x_d, jnp.broadcast_to(pad_pt, (Npad - N, D))], axis=0
         )
         a_full = jnp.concatenate([a, jnp.zeros((Npad - N,), a.dtype)])
     else:

@@ -325,7 +325,7 @@ def _apply_sparse_kernel(
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if p == 2 and kind != "energy":
+        if p == 2 and kind not in ("energy", "inv_dist"):
             w = jnp.exp(phi_ref[:] + psi_ref[:] + scores / eps)
         else:
             sqx = sqx_ref[:]
@@ -333,6 +333,8 @@ def _apply_sparse_kernel(
             d = jnp.sqrt(jnp.maximum(sqx + sqy - 2.0 * scores, 1e-8))
             if kind == "energy":
                 w = -d
+            elif kind == "inv_dist":
+                w = 1.0 / jnp.maximum(d, 1e-4)
             else:
                 w = jnp.exp(phi_ref[:] + psi_ref[:] - d / eps)
                 if kind == "gibbs_grad":
@@ -367,7 +369,7 @@ def gibbs_apply_sparse(
     x32, y32 = x.astype(f32), y.astype(f32)
     eps32 = jnp.asarray(eps, f32)
 
-    if p == 2 and kind != "energy":
+    if p == 2 and kind not in ("energy", "inv_dist"):
         phi_eff = phi.astype(f32) - 0.5 * (x32**2).sum(-1) / eps32
         psi_eff = psi.astype(f32) - 0.5 * (y32**2).sum(-1) / eps32
     else:

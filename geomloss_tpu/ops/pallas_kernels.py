@@ -184,6 +184,11 @@ def _apply_kernel(
         sqy = jnp.sum(yT * yT, axis=0, keepdims=True)
         d = jnp.sqrt(jnp.maximum(sqx + sqy - 2.0 * scores, 1e-8))
         w = -d
+    elif kind == "inv_dist":
+        sqx = sqx_ref[:]
+        sqy = jnp.sum(yT * yT, axis=0, keepdims=True)
+        d = jnp.sqrt(jnp.maximum(sqx + sqy - 2.0 * scores, 1e-8))
+        w = 1.0 / jnp.maximum(d, 1e-4)
     elif p == 2:
         # phi/psi arrive pre-folded with the -|.|^2/(2 eps) terms:
         w = jnp.exp(phi_ref[:] + psi_ref[:] + scores / eps)
@@ -238,7 +243,7 @@ def gibbs_apply_pallas(
     x32, y32 = x.astype(f32), y.astype(f32)
     eps32 = jnp.asarray(eps, f32)
 
-    if p == 2 and kind != "energy":
+    if p == 2 and kind not in ("energy", "inv_dist"):
         # Fold the quadratic terms into the biases:
         phi_eff = phi.astype(f32) - 0.5 * (x32**2).sum(-1) / eps32
         psi_eff = psi.astype(f32) - 0.5 * (y32**2).sum(-1) / eps32

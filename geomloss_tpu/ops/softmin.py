@@ -166,6 +166,8 @@ def _gibbs_weight_dense(x, y, phi, psi, eps, p, kind):
     """Dense ``(N, M)`` weight matrix for one of the supported kinds."""
     if kind == "energy":
         return -cost_routines[1](x, y)
+    if kind == "inv_dist":
+        return 1.0 / jnp.clip(cost_routines[1](x, y), min=1e-4)
     C = cost_routines[p](x, y)
     w = jnp.exp(phi[:, None] + psi[None, :] - C / eps)
     if kind == "gibbs_grad" and p == 1:
@@ -210,7 +212,8 @@ def gibbs_apply(x, y, phi, psi, V, eps, p, kind="gibbs", impl="auto"):
     * ``kind='gibbs'``:      ``w_ij = exp(phi_i + psi_j - C_p(x_i,y_j)/eps)``
     * ``kind='gibbs_grad'``: same, divided by ``|x_i - y_j|`` when ``p == 1``
       (the extra factor in the gradient of the Euclidean cost),
-    * ``kind='energy'``:     ``w_ij = -|x_i - y_j|`` (energy-distance kernel).
+    * ``kind='energy'``:     ``w_ij = -|x_i - y_j|`` (energy-distance kernel),
+    * ``kind='inv_dist'``:   ``w_ij = 1 / |x_i - y_j|`` (energy gradient).
 
     This single primitive implements: softmin VJPs, MMD kernel matvecs
     (reference ``kernel_loss`` matvecs, ``_legacy/kernel_samples.py:128-137``)
@@ -319,3 +322,73 @@ def softmin_points(eps, C_xy, h, p=2, impl="auto"):
         fn = jax.vmap(lambda xb, yb, hb: lse_points(xb, yb, hb, eps, p, impl))
         return -eps * fn(x, y, h)
     return -eps * lse_points(x, y, h, eps, p, impl)
+
+
+# ==============================================================================
+#  Differentiable streaming kernel matvec (MMD losses)
+# ==============================================================================
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def gibbs_matvec(x, y, v, eps, p, kind, impl):
+    r"""``O_i = sum_j k(x_i, y_j) v_j`` with an analytic streaming VJP.
+
+    ``kind='gibbs'``: :math:`k = \exp(-C_p/\varepsilon)` (gaussian for
+    p=2, eps=blur^2; laplacian for p=1, eps=blur);
+    ``kind='energy'``: :math:`k = -|x - y|`.
+
+    This is the differentiable front door to :func:`gibbs_apply` — needed
+    because the Pallas implementation has no autodiff rule of its own.
+    """
+    z_n = jnp.zeros(x.shape[0], x.dtype)
+    z_m = jnp.zeros(y.shape[0], y.dtype)
+    return gibbs_apply(x, y, z_n, z_m, v[:, None], eps, p, kind=kind, impl=impl)[:, 0]
+
+
+def _gibbs_matvec_fwd(x, y, v, eps, p, kind, impl):
+    out = gibbs_matvec(x, y, v, eps, p, kind, impl)
+    return out, (x, y, v, eps)
+
+
+def _gibbs_matvec_bwd(p, kind, impl, res, u):
+    x, y, v, eps = res
+    z_n = jnp.zeros(x.shape[0], x.dtype)
+    z_m = jnp.zeros(y.shape[0], y.dtype)
+    ones_y = jnp.ones((y.shape[0], 1), y.dtype)
+    ones_x = jnp.ones((x.shape[0], 1), x.dtype)
+    Vy = v[:, None] * jnp.concatenate([ones_y, y], -1)
+    Ux = u[:, None] * jnp.concatenate([ones_x, x], -1)
+
+    if kind == "gibbs":
+        wk = "gibbs" if p == 2 else "gibbs_grad"
+        R = gibbs_apply(x, y, z_n, z_m, Vy, eps, p, kind=wk, impl=impl)
+        dx = -(u / eps)[:, None] * (x * R[:, :1] - R[:, 1:])
+        T = gibbs_apply(y, x, z_m, z_n, Ux, eps, p, kind=wk, impl=impl)
+        dy = -(v / eps)[:, None] * (y * T[:, :1] - T[:, 1:])
+        if p == 1:
+            dv = gibbs_apply(
+                y, x, z_m, z_n, u[:, None], eps, p, kind="gibbs", impl=impl
+            )[:, 0]
+        else:
+            dv = T[:, 0]
+    elif kind == "energy":
+        # O = -sum_j d_ij v_j: dO/dx_i = -sum_j v_j (x_i - y_j)/d_ij.
+        R = gibbs_apply(x, y, z_n, z_m, Vy, eps, 1, kind="inv_dist", impl=impl)
+        dx = -u[:, None] * (x * R[:, :1] - R[:, 1:])
+        T = gibbs_apply(y, x, z_m, z_n, Ux, eps, 1, kind="inv_dist", impl=impl)
+        dy = -v[:, None] * (y * T[:, :1] - T[:, 1:])
+        dv = gibbs_apply(
+            y, x, z_m, z_n, u[:, None], eps, 1, kind="energy", impl=impl
+        )[:, 0]
+    else:
+        raise NotImplementedError(kind)
+
+    return (
+        dx.astype(x.dtype),
+        dy.astype(y.dtype),
+        dv.astype(v.dtype),
+        jnp.zeros_like(jnp.asarray(eps)),
+    )
+
+
+gibbs_matvec.defvjp(_gibbs_matvec_fwd, _gibbs_matvec_bwd)
