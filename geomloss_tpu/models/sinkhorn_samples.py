@@ -17,7 +17,7 @@ loop itself only back-propagates through the final extrapolation.
 from functools import partial
 
 import jax
-import jax.numpy as jnp
+
 from jax import lax
 
 from ..ops.costs import cost_routines

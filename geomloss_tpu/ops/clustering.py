@@ -12,7 +12,7 @@ sorted so that clusters are contiguous in memory — the layout both KeOps
 block-sparse reductions and our block-masked Pallas kernels rely on.
 """
 
-from typing import Optional
+
 
 import numpy as np
 import jax.numpy as jnp

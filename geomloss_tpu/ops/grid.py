@@ -21,7 +21,7 @@ loop into a sequence of batched matrix products.
 """
 
 import math
-from functools import partial
+
 
 import numpy as np
 import jax

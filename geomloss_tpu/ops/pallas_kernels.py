@@ -22,7 +22,7 @@ Key layout decisions (see the TPU tiling constraints):
 """
 
 import functools
-import math
+
 
 import jax
 import jax.numpy as jnp

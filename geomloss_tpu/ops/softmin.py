@@ -33,7 +33,7 @@ Design notes (TPU):
 """
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ TPU-native re-design of the reference's ``sinkhorn_loop``
   executed between segments.
 """
 
-from typing import Any, Callable, List, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
