@@ -365,12 +365,150 @@ def solve_sample(
     )
 
 
-def solve_sample_batch(*args, **kwargs):
-    """Reference parity: ``solve_sample_batch`` raises NotImplementedError
-    upstream as well (``sample.py:405-430``). Use jax.vmap over
-    :func:`solve_sample`'s solver core, or the legacy
-    :class:`geomloss_tpu.SamplesLoss` with batched inputs."""
-    raise NotImplementedError("This function is not implemented yet.")
+@convert_inputs("X_a", "X_b", "a", "b")
+def solve_sample_batch(
+    X_a,
+    X_b,
+    a=None,
+    b=None,
+    cost="sqeuclidean",
+    debias=False,
+    reg=None,
+    unbalanced=None,
+    unbalanced_type="KL",
+    method="auto",
+    max_iter=None,
+    tol=None,
+    blur=None,
+    reach=None,
+):
+    r"""Batched :func:`solve_sample`: B point-cloud OT problems in parallel.
+
+    The reference leaves this unimplemented (``sample.py:405-430`` raises);
+    here the single-problem solver core is ``jax.vmap``-ed over the batch
+    axis (one annealing schedule, computed from the global diameter).
+
+    Args:
+        X_a: ``(B, N, D)``; X_b: ``(B, M, D)``;
+        a: ``(B, N)``; b: ``(B, M)`` (default: uniform).
+
+    Returns:
+        list of B :class:`OTResultSample` objects (one per problem, with
+        all lazy attributes available).
+    """
+    if cost == "sqeuclidean":
+        p = 2
+    else:
+        p = 1
+    if blur is not None:
+        if reg is not None:
+            raise ValueError(
+                "Parameters 'reg' and 'blur' are redundant. "
+                "Please specify only one of them."
+            )
+        reg = p * (blur**p)
+    if reach is not None:
+        if unbalanced is not None:
+            raise ValueError(
+                "Parameters 'unbalanced' and 'reach' are redundant. "
+                "Please specify only one of them."
+            )
+        unbalanced = p * (reach**p)
+
+    check_regularization(
+        reg=reg,
+        unbalanced=unbalanced,
+        unbalanced_type=unbalanced_type,
+        method=method,
+        tol=tol,
+        max_iter=max_iter,
+    )
+
+    if len(X_a.shape) != 3 or len(X_b.shape) != 3:
+        raise ValueError(
+            "Expected X_a, X_b to be (B, N, D) / (B, M, D) arrays. "
+            f"Received {X_a.shape} and {X_b.shape}."
+        )
+    B, N, D = X_a.shape
+    B2, M, D2 = X_b.shape
+    if B != B2 or D != D2:
+        raise ValueError(
+            "X_a and X_b should share the batch size and feature dimension; "
+            f"received {X_a.shape} and {X_b.shape}."
+        )
+
+    a = check_marginal(a, ones_like=X_a[:, :, 0], marginal_size=N, name="a")
+    b = check_marginal(b, ones_like=X_b[:, :, 0], marginal_size=M, name="b")
+    if unbalanced is None:
+        check_marginal_masses(a.sum(axis=1), b.sum(axis=1))
+
+    library, dtype, device = check_library_dtype_device(X_a, X_b, a, b)
+
+    # One shared schedule from the global diameter (like solve_batch's
+    # shared max-min cost, matrix.py:660-665):
+    diam = max_diameter(X_a.reshape(-1, D), X_b.reshape(-1, D))
+    descent = annealing_parameters(
+        maxmin_cost=diam**p,
+        eps=reg,
+        rho=unbalanced,
+        n_iter=max_iter,
+    )
+
+    use_streaming = N * M > STREAMING_THRESHOLD
+
+    def solve_one(xa, xb, aa, bb):
+        if use_streaming:
+            C_xy, C_yx = (xa, xb), (xb, xa)
+            C_xx = (xa, xa) if debias else None
+            C_yy = (xb, xb) if debias else None
+        else:
+            C_xy = cost_matrix(xa, xb, cost=cost)
+            C_yx = cost_matrix(xb, xa, cost=cost)
+            C_xx = cost_matrix(xa, xa, cost=cost) if debias else None
+            C_yy = cost_matrix(xb, xb, cost=cost) if debias else None
+        return sinkhorn_loop(
+            softmin=softmin_sample,
+            log_a_list=[stable_log(aa)],
+            log_b_list=[stable_log(bb)],
+            C_list=[CostMatrices(xy=C_xy, yx=C_yx, xx=C_xx, yy=C_yy)],
+            descent=descent,
+            debias=debias,
+            last_extrapolation=True,
+        )
+
+    potentials_batch = jax.vmap(solve_one)(X_a, X_b, a, b)
+
+    array_properties = ArrayProperties(
+        B=0, N=N, M=M, dtype=dtype, device=device, library=library
+    )
+    results = []
+    for k in range(B):
+        pots_k = jax.tree.map(
+            lambda v: None if v is None else v[k], potentials_batch
+        )
+        C_k = (
+            CostMatrices(xy=(X_a[k], X_b[k]), yx=(X_b[k], X_a[k]))
+            if use_streaming
+            else CostMatrices(xy=cost_matrix(X_a[k], X_b[k], cost=cost), yx=None)
+        )
+        results.append(
+            OTResultSample(
+                X_a=X_a[k],
+                X_b=X_b[k],
+                a=a[k],
+                b=b[k],
+                C=C_k,
+                cost=cost,
+                reg=reg,
+                reg_type="KL",
+                unbalanced=unbalanced,
+                unbalanced_type=unbalanced_type,
+                debias=debias,
+                potentials=pots_k,
+                array_properties=array_properties,
+            )
+        )
+    return results
 
 
 def barycenter_sample(*args, **kwargs):
