@@ -33,8 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["lse_pallas", "gibbs_apply_pallas"]
 
 NEG_INF = -1e30
-DEFAULT_BLOCK_N = 256
-DEFAULT_BLOCK_M = 1024
+DEFAULT_BLOCK_N = 512
+DEFAULT_BLOCK_M = 2048
 
 
 def _interpret():
