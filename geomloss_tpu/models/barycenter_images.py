@@ -19,32 +19,35 @@ from ..ops.grid import log_dens, pyramid, softmin_grid, upsample
 __all__ = ["ImagesBarycenter", "barycenter_iteration"]
 
 
-def _softmin(eps, p, h):  # grid softmin over the last 2 axes of (B,K,n,n)
-    return softmin_grid(eps, p, h, D=2)
+def _softmin(eps, p, h, D=2):  # grid softmin over the last D axes of (B,K,...)
+    return softmin_grid(eps, p, h, D=D)
 
 
-def barycenter_iteration(f_k, g_k, d_log, eps, p, ak_log, w_k):
+def barycenter_iteration(f_k, g_k, d_log, eps, p, ak_log, w_k, D=2):
     """One symmetric barycenter iteration (reference ``:6-31``).
 
-    Shapes: f_k, g_k, ak_log are ``(B, K, n, n)``; d_log is ``(B, 1, n, n)``;
-    w_k is ``(B, K)``.
+    Shapes: f_k, g_k, ak_log are ``(B, K, *grid)``; d_log is
+    ``(B, 1, *grid)``; w_k is ``(B, K)``. ``D`` is the number of grid axes
+    (the reference only supports D=2).
     """
+    w = w_k.reshape(w_k.shape + (1,) * D)  # (B, K, 1...)
+
     # Sinkhorn "pseudo-step" — from the measures to the barycenter:
-    ft_k = _softmin(eps, p, ak_log + g_k / eps) / eps  # (B,K,n,n)
-    bar_log = d_log - (ft_k * w_k[:, :, None, None]).sum(1, keepdims=True)
+    ft_k = _softmin(eps, p, ak_log + g_k / eps, D) / eps  # (B,K,*grid)
+    bar_log = d_log - (ft_k * w).sum(1, keepdims=True)
 
     # Symmetric Sinkhorn updates:
-    ft_k = _softmin(eps, p, ak_log + g_k / eps)  # measures -> barycenter
-    gt_k = _softmin(eps, p, bar_log + f_k / eps)  # barycenter -> measures
+    ft_k = _softmin(eps, p, ak_log + g_k / eps, D)  # measures -> barycenter
+    gt_k = _softmin(eps, p, bar_log + f_k / eps, D)  # barycenter -> measures
     f_k = (f_k + ft_k) / 2
     g_k = (g_k + gt_k) / 2
 
     # Pseudo-step again, with the updated potentials:
-    ft_k = _softmin(eps, p, ak_log + g_k / eps) / eps
-    bar_log = d_log - (ft_k * w_k[:, :, None, None]).sum(1, keepdims=True)
+    ft_k = _softmin(eps, p, ak_log + g_k / eps, D) / eps
+    bar_log = d_log - (ft_k * w).sum(1, keepdims=True)
 
     # Update the de-biasing measure:
-    d_log = 0.5 * (d_log + bar_log + _softmin(eps, p, d_log) / eps)
+    d_log = 0.5 * (d_log + bar_log + _softmin(eps, p, d_log, D) / eps)
 
     return f_k, g_k, d_log, bar_log
 
@@ -52,10 +55,12 @@ def barycenter_iteration(f_k, g_k, d_log, eps, p, ak_log, w_k):
 def ImagesBarycenter(
     measures, weights, blur=0, p=2, scaling_N=10, backward_iterations=5
 ):
-    """Debiased Sinkhorn barycenter of K images (reference ``:34-93``).
+    """Debiased Sinkhorn barycenter of K grid measures (reference ``:34-93``).
 
     Args:
-        measures: ``(B, K, N, N)`` batch of K normalized densities.
+        measures: ``(B, K, N, N)`` batch of K normalized densities
+            (also accepts 1D ``(B, K, N)`` and 3D ``(B, K, N, N, N)`` grids —
+            an extension over the 2D-only reference).
         weights: ``(B, K)`` barycentric weights.
         blur: target blur; 0 means one pixel (``1/N``).
         p: cost exponent (2 for halved squared Euclidean).
@@ -66,8 +71,9 @@ def ImagesBarycenter(
     Returns:
         ``(B, 1, N, N)`` barycenter densities.
     """
-    a_k = measures  # (B, K, N, N)
+    a_k = measures  # (B, K, *grid)
     w_k = weights  # (B, K)
+    D = a_k.ndim - 2  # number of grid axes
 
     if blur == 0:
         blur = 1 / measures.shape[-1]
@@ -77,31 +83,32 @@ def ImagesBarycenter(
     # --- No-grad multiscale descent -------------------------------------------
     a_k_d, w_k_d = sg(a_k), sg(w_k)
 
-    ak_s = pyramid(a_k_d, D=2)[1:]  # drop the 1x1 level: 2x2, 4x4, ..., NxN
+    ak_s = pyramid(a_k_d, D=D)[1:]  # drop the 1x1 level: 2x2, 4x4, ..., NxN
     ak_log_s = [log_dens(m) for m in ak_s]
 
     sigma = 1.0
     eps = sigma**p
 
-    f_k = _softmin(eps, p, ak_log_s[0])
-    g_k = _softmin(eps, p, ak_log_s[0])
+    f_k = _softmin(eps, p, ak_log_s[0], D)
+    g_k = _softmin(eps, p, ak_log_s[0], D)
 
-    # Logarithm of the debiasing term: uniform density on the 2x2 grid.
-    d_log = jnp.ones_like(ak_log_s[0]).sum(axis=1, keepdims=True)  # (B,1,2,2)
-    d_log = d_log - jax.nn.logsumexp(d_log, axis=(2, 3), keepdims=True)
+    # Logarithm of the debiasing term: uniform density on the coarsest grid.
+    grid_axes = tuple(range(2, 2 + D))
+    d_log = jnp.ones_like(ak_log_s[0]).sum(axis=1, keepdims=True)  # (B,1,2...)
+    d_log = d_log - jax.nn.logsumexp(d_log, axis=grid_axes, keepdims=True)
 
     for n, ak_log in enumerate(ak_log_s):
         for _ in range(scaling_N):
             eps = sigma**p
             f_k, g_k, d_log, bar_log = barycenter_iteration(
-                f_k, g_k, d_log, eps, p, ak_log, w_k_d
+                f_k, g_k, d_log, eps, p, ak_log, w_k_d, D=D
             )
             sigma = max(sigma * 2 ** (-1 / scaling_N), blur)
 
         if n + 1 < len(ak_s):
-            f_k = upsample(f_k, D=2)
-            g_k = upsample(g_k, D=2)
-            d_log = upsample(d_log, D=2)
+            f_k = upsample(f_k, D=D)
+            g_k = upsample(g_k, D=D)
+            d_log = upsample(d_log, D=D)
 
     # --- Differentiable tail ---------------------------------------------------
     if backward_iterations > 0:
@@ -109,7 +116,7 @@ def ImagesBarycenter(
         f_k, g_k, d_log = sg(f_k), sg(g_k), sg(d_log)
         for _ in range(backward_iterations):
             f_k, g_k, d_log, bar_log = barycenter_iteration(
-                f_k, g_k, d_log, eps, p, ak_log, w_k
+                f_k, g_k, d_log, eps, p, ak_log, w_k, D=D
             )
 
     return jnp.exp(bar_log)

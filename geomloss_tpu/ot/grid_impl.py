@@ -260,26 +260,28 @@ def barycenter_grid(
     backward_iterations=5,
     **kwargs,
 ):
-    """Debiased Sinkhorn barycenter of measures on a 2D grid.
+    """Debiased Sinkhorn barycenter of measures on a 1D/2D/3D grid.
 
     Working implementation of the reference's stub (``grid.py:245-250``):
     wraps the multiscale barycenter loop of
     :func:`geomloss_tpu.models.barycenter_images.ImagesBarycenter`.
 
     Args:
-        a: ``(B, K, N, N)`` batch of K densities per barycenter problem.
+        a: ``(B, K, Nx[, Ny[, Nz]])`` batch of K densities per problem
+            (1D signals, 2D images or 3D volumes).
         weights: ``(B, K)`` barycentric weights.
 
     Returns:
-        ``(B, N, N)`` array of barycenter masses.
+        ``(B, Nx[, Ny[, Nz]])`` array of barycenter masses.
     """
     from ..models.barycenter_images import ImagesBarycenter
 
     if a is None:
         raise ValueError("barycenter_grid requires the densities 'a'.")
-    if a.ndim != 4:
-        raise NotImplementedError(
-            "barycenter_grid currently supports 2D grids: (B, K, N, N)."
+    if a.ndim not in (3, 4, 5):
+        raise ValueError(
+            "barycenter_grid expects (B, K, Nx[, Ny[, Nz]]) densities; "
+            f"received shape {a.shape}."
         )
     if weights is None:
         B, K = a.shape[:2]

@@ -91,3 +91,25 @@ def test_barycenter_grid():
     np.testing.assert_allclose(bar_np.sum(), 1.0, rtol=2e-2)
     com_x = (np.arange(N) / N * bar_np.sum(1)).sum() / bar_np.sum()
     assert 0.4 < com_x < 0.6
+
+
+def test_barycenter_grid_1d_and_3d():
+    # 1D: barycenter of two shifted bumps is a central bump.
+    N = 32
+    x = np.arange(N) / N
+    a1 = np.exp(-((x - 0.3) ** 2) / 0.004)
+    b1 = np.exp(-((x - 0.7) ** 2) / 0.004)
+    a1, b1 = a1 / a1.sum(), b1 / b1.sum()
+    m1 = jnp.asarray(np.stack([a1, b1])[None])  # (1, 2, N)
+    bar1 = ot.barycenter_grid(a=m1)
+    assert bar1.shape == (1, N)
+    com = float((jnp.arange(N) / N * bar1[0]).sum() / bar1[0].sum())
+    assert 0.4 < com < 0.6
+
+    # 3D: runs, conserves mass.
+    rng = np.random.RandomState(0)
+    vols = rng.rand(1, 2, 8, 8, 8)
+    vols /= vols.sum(axis=(2, 3, 4), keepdims=True)
+    bar3 = ot.barycenter_grid(a=jnp.asarray(vols), scaling_N=5)
+    assert bar3.shape == (1, 8, 8, 8)
+    np.testing.assert_allclose(float(bar3.sum()), 1.0, rtol=5e-2)
