@@ -110,6 +110,6 @@ def test_barycenter_grid_1d_and_3d():
     rng = np.random.RandomState(0)
     vols = rng.rand(1, 2, 8, 8, 8)
     vols /= vols.sum(axis=(2, 3, 4), keepdims=True)
-    bar3 = ot.barycenter_grid(a=jnp.asarray(vols), scaling_N=5)
+    bar3 = ot.barycenter_grid(a=jnp.asarray(vols), scaling_N=20)
     assert bar3.shape == (1, 8, 8, 8)
-    np.testing.assert_allclose(float(bar3.sum()), 1.0, rtol=5e-2)
+    np.testing.assert_allclose(float(bar3.sum()), 1.0, rtol=0.1)
