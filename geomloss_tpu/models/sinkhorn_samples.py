@@ -109,6 +109,8 @@ def sinkhorn_online(
     debias=True,
     potentials=False,
     impl="auto",
+    init_potentials=None,
+    warm_start_iters=3,
     **kwargs,
 ):
     """Streaming (O(N+M) memory) Sinkhorn divergence on batched point clouds.
@@ -116,6 +118,12 @@ def sinkhorn_online(
     The cost matrices stay implicit: each softmin call fuses the pairwise
     cost with an online log-sum-exp (Pallas kernel on TPU). This is the
     TPU-native equivalent of the reference's KeOps ``LazyTensor`` backend.
+
+    Warm starting (an extension over the reference): pass the raw 4-tuple
+    ``init_potentials = (f_ba, g_ab, f_aa, g_bb)`` from a previous solve
+    (obtained with ``potentials="raw"``) to skip the epsilon-annealing and
+    run only ``warm_start_iters`` iterations at the target temperature —
+    the natural mode for gradient flows where the clouds move slowly.
     """
     if cost is not None:
         raise NotImplementedError(
@@ -130,9 +138,14 @@ def sinkhorn_online(
     C_xy, C_yx = (x, sg(y)), (y, sg(x))
     C_xx, C_yy = ((x, sg(x)), (y, sg(y))) if debias else (None, None)
 
-    diameter, eps, eps_list, rho = scaling_parameters(
-        x, y, p, blur, reach, diameter, scaling
-    )
+    if init_potentials is not None:
+        eps = blur**p
+        rho = None if reach is None else reach**p
+        eps_list = [eps] * warm_start_iters
+    else:
+        diameter, eps, eps_list, rho = scaling_parameters(
+            x, y, p, blur, reach, diameter, scaling
+        )
 
     f_aa, g_bb, g_ab, f_ba = sinkhorn_loop(
         softmin,
@@ -145,7 +158,11 @@ def sinkhorn_online(
         eps_list,
         rho,
         debias=debias,
+        init_potentials=init_potentials,
     )
+
+    if potentials == "raw":
+        return f_ba, g_ab, f_aa, g_bb
 
     return sinkhorn_cost(
         eps,

@@ -216,6 +216,7 @@ def sinkhorn_loop(
     extrapolate: Optional[Callable] = None,
     debias: bool = True,
     last_extrapolation: bool = True,
+    init_potentials: Optional[Any] = None,
 ):
     r"""(Possibly multiscale) symmetric Sinkhorn loop with annealing.
 
@@ -228,6 +229,11 @@ def sinkhorn_loop(
     ``eps_list`` and ``jumps`` must be static Python values. Between jumps,
     iterations run inside ``lax.scan``; jump iterations (softmin +
     truncation + extrapolation) are unrolled.
+
+    ``init_potentials`` (an extension over the reference) warm-starts the
+    loop with a ``(f_ba, g_ab[, f_aa, g_bb])`` tuple from a previous solve
+    instead of the eps0 softmin initialization — combined with a short
+    constant schedule this makes gradient-flow steps much cheaper.
     """
     if not isinstance(a_logs, list):
         a_logs, b_logs = [a_logs], [b_logs]
@@ -256,14 +262,23 @@ def sinkhorn_loop(
     C_yy = C_yys_d[k] if debias else None
 
     # --- Initialization (reference lines 454-465) -----------------------------
-    g_ab = damping * softmin(eps, C_yx, a_log)
-    f_ba = damping * softmin(eps, C_xy, b_log)
-    if debias:
-        f_aa = damping * softmin(eps, C_xx, a_log)
-        g_bb = damping * softmin(eps, C_yy, b_log)
+    if init_potentials is not None:
+        init = [lax.stop_gradient(v) for v in init_potentials]
+        f_ba, g_ab = init[0], init[1]
+        if debias:
+            f_aa, g_bb = init[2], init[3]
+        else:
+            f_aa = jnp.zeros_like(f_ba)
+            g_bb = jnp.zeros_like(g_ab)
     else:
-        f_aa = jnp.zeros_like(f_ba)
-        g_bb = jnp.zeros_like(g_ab)
+        g_ab = damping * softmin(eps, C_yx, a_log)
+        f_ba = damping * softmin(eps, C_xy, b_log)
+        if debias:
+            f_aa = damping * softmin(eps, C_xx, a_log)
+            g_bb = damping * softmin(eps, C_yy, b_log)
+        else:
+            f_aa = jnp.zeros_like(f_ba)
+            g_bb = jnp.zeros_like(g_ab)
 
     carry = (f_ba, g_ab, f_aa, g_bb)
 
