@@ -8,8 +8,11 @@ tutorial. Run:
     python examples/gradient_flow.py [N]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
