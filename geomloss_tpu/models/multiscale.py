@@ -203,9 +203,6 @@ def sinkhorn_multiscale(
             "User-supplied cluster labels are not supported by the "
             "fixed-block multiscale backend; use cluster_scale instead."
         )
-    if p == 1 and truncate is not None:
-        truncate = None  # p=1 pruning bound not wired yet: stay exact.
-
     N, D = x.shape
     M, _ = y.shape
 

@@ -240,3 +240,14 @@ def test_two_and_four_arg_forms():
         jnp.asarray(y),
     )
     np.testing.assert_allclose(float(v2), float(v4), rtol=1e-12)
+
+
+def test_multiscale_p1_truncation_consistency():
+    from geomloss_tpu.models.multiscale import sinkhorn_multiscale
+
+    a, x, b, y = _clouds(seed=14, N=700, M=750)
+    aj, xj, bj, yj = map(jnp.asarray, (a, x, b, y))
+    kw = dict(p=1, blur=0.05, diameter=1.9, scaling=0.7)
+    exact = float(sinkhorn_multiscale(aj, xj, bj, yj, truncate=None, **kw))
+    trunc = float(sinkhorn_multiscale(aj, xj, bj, yj, truncate=5, **kw))
+    np.testing.assert_allclose(trunc, exact, rtol=1e-4, atol=1e-8)
