@@ -20,7 +20,7 @@ def ot_problems(draw):
     return C, a, b
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15, deadline=None, derandomize=True)
 @given(ot_problems())
 def test_symmetry_property(problem):
     C, a, b = problem
@@ -34,7 +34,7 @@ def test_symmetry_property(problem):
     )
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15, deadline=None, derandomize=True)
 @given(ot_problems(), st.floats(min_value=0.2, max_value=4.0))
 def test_cost_linearity_property(problem, scale):
     C, a, b = problem
@@ -48,7 +48,7 @@ def test_cost_linearity_property(problem, scale):
     )
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15, deadline=None, derandomize=True)
 @given(ot_problems())
 def test_marginals_property(problem):
     C, a, b = problem
