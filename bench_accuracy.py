@@ -1,0 +1,62 @@
+"""Accuracy-vs-speed benchmark: solver error against a tightly-converged
+reference, across backends and epsilon-scaling values.
+
+Mirrors the reference's accuracy protocol
+(``examples/performances/plot_benchmarks_ot_3D.py``: error on the entropic
+Wasserstein value as a function of the ``scaling`` parameter and backend).
+Prints one JSON line per configuration.
+"""
+
+import json
+import time
+
+import numpy as np
+
+from bench import sphere_cloud
+
+N = 5000  # small enough for a tensorized high-precision reference
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from geomloss_tpu import SamplesLoss
+
+    x = jnp.asarray(sphere_cloud(N, 0))
+    y = jnp.asarray(sphere_cloud(N, 1))
+
+    # Tight reference: tensorized, scaling=0.99.
+    ref_loss = SamplesLoss(
+        "sinkhorn", p=2, blur=0.05, diameter=2.0, scaling=0.99,
+        backend="tensorized",
+    )
+    ref = float(jax.jit(lambda x, y: ref_loss(x, y))(x, y))
+    print(json.dumps({"metric": "reference_value_scaling0.99", "value": ref}))
+
+    for backend in ["tensorized", "online", "multiscale"]:
+        for scaling in [0.5, 0.7, 0.9]:
+            loss = SamplesLoss(
+                "sinkhorn", p=2, blur=0.05, diameter=2.0, scaling=scaling,
+                backend=backend,
+            )
+            step = jax.jit(lambda x, y: loss(x, y))
+            v = float(step(x, y))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                v = float(step(x, y))
+            dt = (time.perf_counter() - t0) / 3
+            print(
+                json.dumps(
+                    {
+                        "metric": f"{backend}_scaling{scaling}",
+                        "value_ms": round(dt * 1e3, 2),
+                        "loss_value": v,
+                        "abs_error_vs_ref": abs(v - ref),
+                    }
+                )
+            )
+
+
+if __name__ == "__main__":
+    main()
