@@ -74,7 +74,7 @@ def kd_sort_perm(x, leaf_size):
         width = xs.max(axis=1) - xs.min(axis=1)  # (seg, D)
         ax = jnp.argmax(width, axis=-1)  # (seg,)
         vals = jnp.take_along_axis(xs, ax[:, None, None], axis=2)[..., 0]
-        order = jnp.argsort(vals, axis=1)  # (seg, seg_len)
+        order = jnp.argsort(vals, axis=1, stable=False)  # (seg, seg_len)
         idx = jnp.take_along_axis(idx.reshape(seg, seg_len), order, axis=1).reshape(-1)
         seg *= 2
     return idx
