@@ -32,6 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from typing import NamedTuple
 
+from .pallas_kernels import LN2, LOG2E, _bf16_trunc, _scores_dot, _split6_pair
+
 NEG_INF = -1e30
 
 __all__ = [
@@ -199,7 +201,7 @@ def masks_from_coarse(
 
 
 def _lse_sparse_kernel(
-    cols_ref, counts_ref, eps_ref, xT_ref, yT_ref, h_ref, sqx_ref,
+    cols_ref, counts_ref, eps_ref, xhT_ref, yhT_ref, h_ref, sqx_ref, sqy_ref,
     o_ref, m_ref, s_ref, *, p,
 ):
     j = pl.program_id(1)
@@ -214,34 +216,26 @@ def _lse_sparse_kernel(
 
     @pl.when(j < counts_ref[i])
     def _compute():
-        eps = eps_ref[0]
-        xT = xT_ref[:]
-        yT = yT_ref[:]
-        h = h_ref[:]
-        scores = lax.dot_general(
-            xT, yT,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        c2 = LOG2E / eps_ref[0]
+        h2 = h_ref[:]  # base-2 units; p=2 also folds the column quadratic
+        scores = _scores_dot(xhT_ref[:], yhT_ref[:])
         if p == 2:
-            sqy_h = 0.5 * jnp.sum(yT * yT, axis=0, keepdims=True)
-            arg = (h - sqy_h / eps) + scores / eps
+            arg = h2 + scores * c2
         else:
-            sqx = sqx_ref[:]
-            sqy = jnp.sum(yT * yT, axis=0, keepdims=True)
-            d = jnp.sqrt(jnp.maximum(sqx + sqy - 2.0 * scores, 1e-8))
-            arg = h - d / eps
+            sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
+            d = jnp.sqrt(jnp.maximum(sq, 1e-8))
+            arg = h2 - d * c2
         m_prev = m_ref[:]
         blk_max = jnp.max(arg, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, blk_max)
-        s_ref[:] = s_ref[:] * jnp.exp(m_prev - m_new) + jnp.sum(
-            jnp.exp(arg - m_new), axis=1, keepdims=True
+        s_ref[:] = s_ref[:] * jnp.exp2(m_prev - m_new) + jnp.sum(
+            jnp.exp2(arg - m_new), axis=1, keepdims=True
         )
         m_ref[:] = m_new
 
     @pl.when(j == nj - 1)
     def _finalize():
-        o_ref[:] = m_ref[:] + jnp.log(s_ref[:])
+        o_ref[:] = m_ref[:] + jnp.log2(s_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("p", "block_n", "block_m"))
@@ -256,24 +250,33 @@ def lse_sparse(x, y, h, eps, cols, counts, p=2, block_n=256, block_m=512):
     nI, cap = cols.shape
 
     f32 = jnp.float32
-    xT = x.astype(f32).T
-    yT = y.astype(f32).T
-    h2 = h.astype(f32)[None, :]
-    sqx = ((x.astype(f32) ** 2).sum(-1))[:, None]
-    eps_arr = jnp.asarray(eps, f32).reshape(1)
+    eps32 = jnp.asarray(eps, f32)
+    x32, y32 = x.astype(f32), y.astype(f32)
+    xhT, yhT = _split6_pair(x32.T, y32.T)  # f32-exact scores on the bf16 MXU
+    h2 = h.astype(f32) * LOG2E
+    if p == 2:
+        h2 = h2 - (0.5 * LOG2E / eps32) * (y32**2).sum(-1)
+    h2 = h2[None, :]
+    sqx = ((x32**2).sum(-1))[:, None]
+    sqy = ((y32**2).sum(-1))[None, :]
+    eps_arr = eps32.reshape(1)
 
+    K = xhT.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # cols, counts, eps
         grid=(nI, cap),
         in_specs=[
-            pl.BlockSpec((D, block_n), lambda i, j, cols, counts, eps: (0, i)),
+            pl.BlockSpec((K, block_n), lambda i, j, cols, counts, eps: (0, i)),
             pl.BlockSpec(
-                (D, block_m), lambda i, j, cols, counts, eps: (0, cols[i, j])
+                (K, block_m), lambda i, j, cols, counts, eps: (0, cols[i, j])
             ),
             pl.BlockSpec(
                 (1, block_m), lambda i, j, cols, counts, eps: (0, cols[i, j])
             ),
             pl.BlockSpec((block_n, 1), lambda i, j, cols, counts, eps: (i, 0)),
+            pl.BlockSpec(
+                (1, block_m), lambda i, j, cols, counts, eps: (0, cols[i, j])
+            ),
         ],
         out_specs=pl.BlockSpec(
             (block_n, 1), lambda i, j, cols, counts, eps: (i, 0)
@@ -289,11 +292,11 @@ def lse_sparse(x, y, h, eps, cols, counts, p=2, block_n=256, block_m=512):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, 1), f32),
         interpret=_interpret(),
-    )(cols, counts, eps_arr, xT, yT, h2, sqx)
+    )(cols, counts, eps_arr, xhT, yhT, h2, sqx, sqy)
 
-    out = out[:, 0]
+    out = out[:, 0] * LN2  # back to natural-log units
     if p == 2:
-        out = out - 0.5 * (x.astype(f32) ** 2).sum(-1) / jnp.asarray(eps, f32)
+        out = out - 0.5 * (x32**2).sum(-1) / eps32
     return out
 
 
@@ -303,8 +306,8 @@ def lse_sparse(x, y, h, eps, cols, counts, p=2, block_n=256, block_m=512):
 
 
 def _apply_sparse_kernel(
-    cols_ref, counts_ref, eps_ref, xT_ref, yT_ref, phi_ref, psi_ref, sqx_ref,
-    VT_ref, o_ref, acc_ref, *, p, kind,
+    cols_ref, counts_ref, eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref,
+    sqx_ref, sqy_ref, VT_ref, o_ref, acc_ref, *, p, kind,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -317,32 +320,42 @@ def _apply_sparse_kernel(
 
     @pl.when(j < counts_ref[i])
     def _compute():
-        eps = eps_ref[0]
-        xT = xT_ref[:]
-        yT = yT_ref[:]
-        scores = lax.dot_general(
-            xT, yT,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        c2 = LOG2E / eps_ref[0]
+        scores = _scores_dot(xhT_ref[:], yhT_ref[:])
         if p == 2 and kind not in ("energy", "inv_dist"):
-            w = jnp.exp(phi_ref[:] + psi_ref[:] + scores / eps)
+            w = jnp.exp2(phi_ref[:] + (psi_ref[:] + scores * c2))
         else:
-            sqx = sqx_ref[:]
-            sqy = jnp.sum(yT * yT, axis=0, keepdims=True)
-            d = jnp.sqrt(jnp.maximum(sqx + sqy - 2.0 * scores, 1e-8))
+            sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
+            d = jnp.sqrt(jnp.maximum(sq, 1e-8))
             if kind == "energy":
                 w = -d
             elif kind == "inv_dist":
-                w = 1.0 / jnp.maximum(d, 1e-4)
+                # Zero below the f32 noise floor of the expansion form
+                # (see ops/softmin.py::GRAD_SQDIST_CUT).
+                w = jnp.where(sq > 1e-6, 1.0 / d, 0.0)
             else:
-                w = jnp.exp(phi_ref[:] + psi_ref[:] - d / eps)
+                w = jnp.exp2(phi_ref[:] + (psi_ref[:] - d * c2))
                 if kind == "gibbs_grad":
-                    w = w / jnp.maximum(d, 1e-4)
-        acc_ref[:] += lax.dot_general(
-            w, VT_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+                    w = jnp.where(sq > 1e-6, w / d, 0.0)
+        # Both contraction operands are split into bf16-exact summands (the
+        # caller stacks V = V1 + V2 along the channel axis) so the result
+        # reaches ~2^-14 relative accuracy on the bf16 MXU:
+        C = VT_ref.shape[0] // 2
+        V1 = VT_ref[:C, :]
+        V2 = VT_ref[C:, :]
+        w1 = _bf16_trunc(w)
+        w2 = w - w1
+        dn = (((1,), (1,)), ((), ()))
+        acc_ref[:] += (
+            lax.dot_general(
+                w1, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
+            )
+            + lax.dot_general(
+                w1, V2, dimension_numbers=dn, preferred_element_type=jnp.float32
+            )
+            + lax.dot_general(
+                w2, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
+            )
         )
 
     @pl.when(j == nj - 1)
@@ -370,28 +383,37 @@ def gibbs_apply_sparse(
     eps32 = jnp.asarray(eps, f32)
 
     if p == 2 and kind not in ("energy", "inv_dist"):
-        phi_eff = phi.astype(f32) - 0.5 * (x32**2).sum(-1) / eps32
-        psi_eff = psi.astype(f32) - 0.5 * (y32**2).sum(-1) / eps32
-    else:
+        # Quadratic terms folded into the biases, in base-2 units:
+        phi_eff = (phi.astype(f32) - 0.5 * (x32**2).sum(-1) / eps32) * LOG2E
+        psi_eff = (psi.astype(f32) - 0.5 * (y32**2).sum(-1) / eps32) * LOG2E
+    elif kind in ("energy", "inv_dist"):
         phi_eff, psi_eff = phi.astype(f32), psi.astype(f32)
+    else:  # p = 1 Gibbs kinds: biases in base-2 units
+        phi_eff = phi.astype(f32) * LOG2E
+        psi_eff = psi.astype(f32) * LOG2E
 
-    xT, yT = x32.T, y32.T
+    xhT, yhT = _split6_pair(x32.T, y32.T)
     phi_col = phi_eff[:, None]
     psi_row = psi_eff[None, :]
     sqx = ((x32**2).sum(-1))[:, None]
+    sqy = ((y32**2).sum(-1))[None, :]
     VT = V.astype(f32).T
+    VT1 = _bf16_trunc(VT)
+    VT = jnp.concatenate([VT1, VT - VT1], axis=0)  # (2 C, M)
     eps_arr = eps32.reshape(1)
 
+    K = xhT.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nI, cap),
         in_specs=[
-            pl.BlockSpec((D, block_n), lambda i, j, c, n, e: (0, i)),
-            pl.BlockSpec((D, block_m), lambda i, j, c, n, e: (0, c[i, j])),
+            pl.BlockSpec((K, block_n), lambda i, j, c, n, e: (0, i)),
+            pl.BlockSpec((K, block_m), lambda i, j, c, n, e: (0, c[i, j])),
             pl.BlockSpec((block_n, 1), lambda i, j, c, n, e: (i, 0)),
             pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, c[i, j])),
             pl.BlockSpec((block_n, 1), lambda i, j, c, n, e: (i, 0)),
-            pl.BlockSpec((C, block_m), lambda i, j, c, n, e: (0, c[i, j])),
+            pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, c[i, j])),
+            pl.BlockSpec((2 * C, block_m), lambda i, j, c, n, e: (0, c[i, j])),
         ],
         out_specs=pl.BlockSpec((block_n, C), lambda i, j, c, n, e: (i, 0)),
         scratch_shapes=[pltpu.VMEM((block_n, C), f32)],
@@ -402,7 +424,7 @@ def gibbs_apply_sparse(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, C), f32),
         interpret=_interpret(),
-    )(cols, counts, eps_arr, xT, yT, phi_col, psi_row, sqx, VT)
+    )(cols, counts, eps_arr, xhT, yhT, phi_col, psi_row, sqx, sqy, VT)
 
     return out
 

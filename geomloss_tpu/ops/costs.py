@@ -12,6 +12,7 @@ Everything here broadcasts over arbitrary leading batch dimensions.
 """
 
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = [
     "squared_distances",
@@ -19,6 +20,12 @@ __all__ = [
     "cost_routines",
     "halved_sqdist",
 ]
+
+#: TPU MXUs multiply in bfloat16 by default, which injects ~1e-2-scale noise
+#: into pairwise distances computed through the dot-product expansion (and
+#: thence ~x2 relative errors into p=1 gradients, measured). All matmuls on
+#: raw point coordinates therefore request full float32 multiplication.
+COORD_PRECISION = lax.Precision.HIGHEST
 
 #: Numerical floor applied before taking square roots of squared distances,
 #: matching the reference's ``clamp_min(, 1e-8)`` (``_legacy/utils.py:61``).
@@ -37,7 +44,9 @@ def squared_distances(x, y):
     """
     D_xx = (x * x).sum(-1)[..., :, None]  # (..., N, 1)
     D_yy = (y * y).sum(-1)[..., None, :]  # (..., 1, M)
-    D_xy = jnp.matmul(x, jnp.swapaxes(y, -1, -2))  # (..., N, M) on the MXU
+    D_xy = jnp.matmul(
+        x, jnp.swapaxes(y, -1, -2), precision=COORD_PRECISION
+    )  # (..., N, M) on the MXU
     return D_xx - 2 * D_xy + D_yy
 
 

@@ -102,7 +102,12 @@ def _lse_axis(A, K_log):
     m = jnp.where(jnp.isfinite(m), m, 0.0)
     expA = jnp.exp(A - m)
     K = jnp.exp(K_log)  # (N, N), entries in (0, 1]
-    conv = jnp.matmul(expA, K.T, preferred_element_type=expA.dtype)
+    # HIGHEST: the TPU MXU multiplies in bf16 by default, which injects ~0.2%
+    # relative noise into the Gibbs weights (see ops/costs.py::COORD_PRECISION).
+    conv = jnp.matmul(
+        expA, K.T, preferred_element_type=expA.dtype,
+        precision=lax.Precision.HIGHEST,
+    )
     return m + jnp.log(jnp.maximum(conv, 1e-300 if A.dtype == jnp.float64 else 1e-38))
 
 

@@ -15,13 +15,24 @@ Key layout decisions (see the TPU tiling constraints):
   feature dimension ``D`` (1-3 in practice) sits on sublanes. A ``(N, D)``
   layout would waste a 128-lane row per point.
 * For ``p = 2`` the cost decomposes through one MXU matmul
-  ``scores = x^T y`` plus per-row/per-column biases that are folded
-  *outside* the kernel, so the inner loop is exactly a flash-attention
-  score block: ``arg = phi_i + psi_j + scores_ij / eps``.
-* Accumulators are float32 regardless of the input dtype.
+  ``scores = x^T y`` plus per-row/per-column biases folded *outside* the
+  kernel, so the inner loop is exactly a flash-attention score block.
+* **Split-operand f32 matmuls.** The MXU multiplies in bfloat16; a raw
+  f32 dot therefore carries ~2^-9 relative noise which, divided by a
+  small ``eps``, corrupts Gibbs exponents by O(1). Each coordinate is
+  split into three bf16-exact components ``x = x1 + x2 + x3`` and the six
+  significant cross terms are evaluated as a *single* ``K = 6 D`` matmul
+  at default precision — f32-exact scores (~1e-7) for one MXU pass
+  (Mosaic's ``Precision.HIGHEST`` lowering measured ~3.8x slower).
+* All exponentials run in base 2: ``log2(e)`` is folded into the biases
+  once per block, saving a per-pair multiply in the hot loop.
+* Accumulators are float32 regardless of the input dtype. The Gibbs
+  matvec splits its weight matrix into two bf16-exact summands so the
+  channel contraction is f32-accurate as well.
 """
 
 import functools
+import math
 
 
 import jax
@@ -33,8 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["lse_pallas", "gibbs_apply_pallas"]
 
 NEG_INF = -1e30
-DEFAULT_BLOCK_N = 512
+DEFAULT_BLOCK_N = 1024
 DEFAULT_BLOCK_M = 2048
+
+LOG2E = math.log2(math.e)
+LN2 = math.log(2.0)
 
 
 def _interpret():
@@ -53,12 +67,69 @@ def _pad_axis(arr, axis, target, value=0.0):
     return jnp.pad(arr, pad, constant_values=value)
 
 
+def _bf16_trunc(a):
+    """Truncate an f32 array to its top 16 bits (a bf16-exact value).
+
+    Implemented with integer mantissa masking rather than an
+    ``astype(bf16).astype(f32)`` round-trip: XLA runs with
+    ``--xla_allow_excess_precision=true`` and silently *elides* the
+    round-trip under jit, which would turn the split into a no-op.
+    """
+    u = lax.bitcast_convert_type(a, jnp.uint32)
+    return lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def _split3(a):
+    """Exact three-way split ``a == a1 + a2 + a3`` for f32 inputs, with
+    every component exactly representable in bfloat16."""
+    a1 = _bf16_trunc(a)
+    r = a - a1
+    a2 = _bf16_trunc(r)
+    a3 = r - a2
+    return a1, a2, a3
+
+
+def _split6_pair(xT, yT):
+    """Stack the six significant cross terms of the split-operand product.
+
+    Returns ``(xhT, yhT)`` of shape ``(6 D, .)`` such that a bf16 MXU
+    contraction of the pair reproduces the f32 product ``x^T y`` to ~1e-7
+    relative accuracy: kept terms x1y1, x1y2, x2y1, x1y3, x3y1, x2y2
+    (dropped terms are O(2^-27)).
+    """
+    x1, x2, x3 = _split3(xT)
+    y1, y2, y3 = _split3(yT)
+    xh = jnp.concatenate([x1, x1, x2, x1, x3, x2], axis=0)
+    yh = jnp.concatenate([y1, y2, y1, y3, y1, y2], axis=0)
+    return xh, yh
+
+
+def _scores_dot(xhT, yhT):
+    """f32-accurate pairwise dot products from split operands (one MXU pass)."""
+    return lax.dot_general(
+        xhT,
+        yhT,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 # ==============================================================================
 #  Streaming LSE (softmin forward)
 # ==============================================================================
 
 
-def _lse_kernel(eps_ref, xT_ref, yT_ref, h_ref, sqx_ref, o_ref, m_ref, s_ref, *, p):
+def _lse_kernel(
+    eps_ref, xhT_ref, yhT_ref, h2_ref, sqx_ref, sqy_ref, o_ref, m_ref, s_ref, *, p
+):
+    """One (BN, BM) tile of the streaming LSE, in base-2 log domain.
+
+    ``h2`` arrives pre-scaled by ``log2(e)`` (for p=2 it also folds the
+    column quadratic term); the p=2 row-constant term is handled by the
+    caller. The score block is touched by exactly two vector passes
+    (block max, then exp2-sum with running-max renormalization) — the
+    minimum for an overflow-safe online LSE.
+    """
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -67,39 +138,30 @@ def _lse_kernel(eps_ref, xT_ref, yT_ref, h_ref, sqx_ref, o_ref, m_ref, s_ref, *,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         s_ref[:] = jnp.zeros_like(s_ref)
 
-    eps = eps_ref[0, 0]
-    xT = xT_ref[:]  # (D, BN)
-    yT = yT_ref[:]  # (D, BM)
-    h = h_ref[:]  # (1, BM)
+    c2 = LOG2E / eps_ref[0, 0]
+    h2 = h2_ref[:]  # (1, BM), base-2 units
 
-    scores = lax.dot_general(
-        xT,
-        yT,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BN, BM)
+    scores = _scores_dot(xhT_ref[:], yhT_ref[:])  # (BN, BM)
 
     if p == 2:
-        sqy_h = 0.5 * jnp.sum(yT * yT, axis=0, keepdims=True)  # (1, BM)
-        # Row-constant term |x|^2/(2 eps) is subtracted by the caller.
-        arg = (h - sqy_h / eps) + scores / eps
+        # One fused multiply-add per pair; biases folded by the caller.
+        arg = h2 + scores * c2
     else:
-        sqx = sqx_ref[:]  # (BN, 1)
-        sqy = jnp.sum(yT * yT, axis=0, keepdims=True)  # (1, BM)
-        d = jnp.sqrt(jnp.maximum(sqx + sqy - 2.0 * scores, 1e-8))
-        arg = h - d / eps
+        sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
+        d = jnp.sqrt(jnp.maximum(sq, 1e-8))
+        arg = h2 - d * c2
 
     m_prev = m_ref[:]  # (BN, 1)
     blk_max = jnp.max(arg, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, blk_max)
-    s_ref[:] = s_ref[:] * jnp.exp(m_prev - m_new) + jnp.sum(
-        jnp.exp(arg - m_new), axis=1, keepdims=True
+    s_ref[:] = s_ref[:] * jnp.exp2(m_prev - m_new) + jnp.sum(
+        jnp.exp2(arg - m_new), axis=1, keepdims=True
     )
     m_ref[:] = m_new
 
     @pl.when(j == nj - 1)
     def _finalize():
-        o_ref[:] = m_ref[:] + jnp.log(s_ref[:])
+        o_ref[:] = m_ref[:] + jnp.log2(s_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("p", "block_n", "block_m"))
@@ -121,22 +183,33 @@ def lse_pallas(
     Np, Mp = _cdiv(N, bn) * bn, _cdiv(M, bm) * bm
 
     f32 = jnp.float32
-    xT = _pad_axis(x.astype(f32).T, 1, Np)  # (D, Np)
-    yT = _pad_axis(y.astype(f32).T, 1, Mp)  # (D, Mp)
-    h2 = _pad_axis(h.astype(f32)[None, :], 1, Mp, value=NEG_INF)  # (1, Mp)
-    eps_arr = jnp.asarray(eps, f32).reshape(1, 1)
-    sqx = _pad_axis(((x.astype(f32) ** 2).sum(-1))[:, None], 0, Np)  # (Np, 1)
+    eps32 = jnp.asarray(eps, f32)
+    x32, y32 = x.astype(f32), y.astype(f32)
+    xT = _pad_axis(x32.T, 1, Np)  # (D, Np)
+    yT = _pad_axis(y32.T, 1, Mp)  # (D, Mp)
+    xhT, yhT = _split6_pair(xT, yT)  # (6 D, .)
+    sqx = _pad_axis(((x32**2).sum(-1))[:, None], 0, Np)  # (Np, 1)
+    sqy = _pad_axis(((y32**2).sum(-1))[None, :], 1, Mp)  # (1, Mp)
 
+    h2 = h.astype(f32) * LOG2E
+    if p == 2:
+        # Fold the column quadratic term (the row term is added below):
+        h2 = h2 - (0.5 * LOG2E / eps32) * (y32**2).sum(-1)
+    h2 = _pad_axis(h2[None, :], 1, Mp, value=NEG_INF)  # (1, Mp)
+    eps_arr = eps32.reshape(1, 1)
+
+    K = xhT.shape[0]
     grid = (Np // bn, Mp // bm)
     out = pl.pallas_call(
         functools.partial(_lse_kernel, p=p),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((D, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, 1), f32),
@@ -145,11 +218,11 @@ def lse_pallas(
             pltpu.VMEM((bn, 1), f32),
         ],
         interpret=_interpret(),
-    )(eps_arr, xT, yT, h2, sqx)
+    )(eps_arr, xhT, yhT, h2, sqx, sqy)
 
-    out = out[:N, 0]
+    out = out[:N, 0] * LN2  # back to natural-log units
     if p == 2:
-        out = out - 0.5 * (x.astype(f32) ** 2).sum(-1) / jnp.asarray(eps, f32)
+        out = out - 0.5 * (x32**2).sum(-1) / eps32
     return out
 
 
@@ -159,7 +232,8 @@ def lse_pallas(
 
 
 def _apply_kernel(
-    eps_ref, xT_ref, yT_ref, phi_ref, psi_ref, sqx_ref, VT_ref, o_ref, acc_ref, *, p, kind
+    eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref, sqx_ref, sqy_ref, VT_ref,
+    o_ref, acc_ref, *, p, kind
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -169,43 +243,53 @@ def _apply_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     eps = eps_ref[0, 0]
-    xT = xT_ref[:]  # (D, BN)
-    yT = yT_ref[:]  # (D, BM)
-
-    scores = lax.dot_general(
-        xT,
-        yT,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BN, BM)
+    scores = _scores_dot(xhT_ref[:], yhT_ref[:])  # (BN, BM)
 
     if kind == "energy":
-        sqx = sqx_ref[:]
-        sqy = jnp.sum(yT * yT, axis=0, keepdims=True)
-        d = jnp.sqrt(jnp.maximum(sqx + sqy - 2.0 * scores, 1e-8))
+        sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
+        d = jnp.sqrt(jnp.maximum(sq, 1e-8))
         w = -d
     elif kind == "inv_dist":
-        sqx = sqx_ref[:]
-        sqy = jnp.sum(yT * yT, axis=0, keepdims=True)
-        d = jnp.sqrt(jnp.maximum(sqx + sqy - 2.0 * scores, 1e-8))
-        w = 1.0 / jnp.maximum(d, 1e-4)
+        sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
+        d = jnp.sqrt(jnp.maximum(sq, 1e-8))
+        # Zero below the f32 noise floor of the expansion form — matches the
+        # reference's zero gradient in the clamped region (see
+        # ops/softmin.py::GRAD_SQDIST_CUT).
+        w = jnp.where(sq > 1e-6, 1.0 / d, 0.0)
     elif p == 2:
-        # phi/psi arrive pre-folded with the -|.|^2/(2 eps) terms:
-        w = jnp.exp(phi_ref[:] + psi_ref[:] + scores / eps)
+        # phi/psi arrive pre-folded with the -|.|^2/(2 eps) terms and
+        # pre-scaled by log2(e): one fused multiply-add + exp2 per pair.
+        c2 = LOG2E / eps
+        w = jnp.exp2(phi_ref[:] + (psi_ref[:] + scores * c2))
     else:
-        sqx = sqx_ref[:]
-        sqy = jnp.sum(yT * yT, axis=0, keepdims=True)
-        d = jnp.sqrt(jnp.maximum(sqx + sqy - 2.0 * scores, 1e-8))
-        w = jnp.exp(phi_ref[:] + psi_ref[:] - d / eps)
+        sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
+        d = jnp.sqrt(jnp.maximum(sq, 1e-8))
+        c2 = LOG2E / eps
+        w = jnp.exp2(phi_ref[:] + (psi_ref[:] - d * c2))
         if kind == "gibbs_grad":
-            w = w / jnp.maximum(d, 1e-4)
+            # Zero below the f32 noise floor (ops/softmin.py::GRAD_SQDIST_CUT).
+            w = jnp.where(sq > 1e-6, w / d, 0.0)
 
-    # (BN, BM) @ (BM, C) on the MXU, contracting the streamed axis:
-    acc_ref[:] += lax.dot_general(
-        w,
-        VT_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    # (BN, BM) @ (BM, C) on the MXU, contracting the streamed axis. Both
+    # operands are split into bf16-exact summands (the caller stacks
+    # V = V1 + V2 along the channel axis) so the contraction reaches
+    # ~2^-14 relative accuracy despite the MXU's bf16 multipliers:
+    C = VT_ref.shape[0] // 2
+    V1 = VT_ref[:C, :]
+    V2 = VT_ref[C:, :]
+    w1 = _bf16_trunc(w)
+    w2 = w - w1
+    dn = (((1,), (1,)), ((), ()))
+    acc_ref[:] += (
+        lax.dot_general(
+            w1, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
+        + lax.dot_general(
+            w1, V2, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
+        + lax.dot_general(
+            w2, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
     )
 
     @pl.when(j == nj - 1)
@@ -223,7 +307,7 @@ def gibbs_apply_pallas(
     eps,
     p=2,
     kind="gibbs",
-    block_n=DEFAULT_BLOCK_N,
+    block_n=512,  # three live (BN, BM) weight blocks must fit in VMEM
     block_m=DEFAULT_BLOCK_M,
 ):
     """``O_i = sum_j w_ij V_j`` with streaming tiles; see
@@ -244,39 +328,49 @@ def gibbs_apply_pallas(
     eps32 = jnp.asarray(eps, f32)
 
     if p == 2 and kind not in ("energy", "inv_dist"):
-        # Fold the quadratic terms into the biases:
-        phi_eff = phi.astype(f32) - 0.5 * (x32**2).sum(-1) / eps32
-        psi_eff = psi.astype(f32) - 0.5 * (y32**2).sum(-1) / eps32
-    else:
+        # Fold the quadratic terms into the biases, in base-2 units:
+        phi_eff = (phi.astype(f32) - 0.5 * (x32**2).sum(-1) / eps32) * LOG2E
+        psi_eff = (psi.astype(f32) - 0.5 * (y32**2).sum(-1) / eps32) * LOG2E
+    elif kind in ("energy", "inv_dist"):
         phi_eff = phi.astype(f32)
         psi_eff = psi.astype(f32)
+    else:  # p = 1 Gibbs kinds: biases in base-2 units
+        phi_eff = phi.astype(f32) * LOG2E
+        psi_eff = psi.astype(f32) * LOG2E
 
     xT = _pad_axis(x32.T, 1, Np)
     yT = _pad_axis(y32.T, 1, Mp)
+    xhT, yhT = _split6_pair(xT, yT)
     phi_col = _pad_axis(phi_eff[:, None], 0, Np, value=NEG_INF)  # (Np, 1)
     psi_row = _pad_axis(psi_eff[None, :], 1, Mp, value=NEG_INF)  # (1, Mp)
     sqx = _pad_axis(((x32**2).sum(-1))[:, None], 0, Np)  # (Np, 1)
+    sqy = _pad_axis(((y32**2).sum(-1))[None, :], 1, Mp)  # (1, Mp)
     VT = _pad_axis(V.astype(f32).T, 1, Mp)  # (C, Mp) — padded V columns are 0
+    # Split V into bf16-exact summands, stacked along the channel axis:
+    VT1 = _bf16_trunc(VT)
+    VT = jnp.concatenate([VT1, VT - VT1], axis=0)  # (2 C, Mp)
 
     eps_arr = eps32.reshape(1, 1)
 
+    K = xhT.shape[0]
     grid = (Np // bn, Mp // bm)
     out = pl.pallas_call(
         functools.partial(_apply_kernel, p=p, kind=kind),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((D, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * C, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bn, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, C), f32),
         scratch_shapes=[pltpu.VMEM((bn, C), f32)],
         interpret=_interpret(),
-    )(eps_arr, xT, yT, phi_col, psi_row, sqx, VT)
+    )(eps_arr, xhT, yhT, phi_col, psi_row, sqx, sqy, VT)
 
     return out[:N]

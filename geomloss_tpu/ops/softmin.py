@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .costs import SQDIST_FLOOR, cost_routines
+from .costs import COORD_PRECISION, SQDIST_FLOOR, cost_routines, squared_distances
 
 
 def _acc_dtype(dt):
@@ -93,14 +93,19 @@ def _chunk_score(x, y_blk, h_blk, eps, p):
     if p == 2:
         # h'_j - |x_i|^2/(2 eps) + <x_i, y_j>/eps with h' folded by caller:
         sq_y = 0.5 * (y_blk * y_blk).sum(-1)
-        dots = jnp.dot(x, y_blk.T, preferred_element_type=acc)
+        dots = jnp.dot(
+            x, y_blk.T, preferred_element_type=acc, precision=COORD_PRECISION
+        )
         return (h_blk - sq_y / eps)[None, :] + (
             dots - 0.5 * (x * x).sum(-1)[:, None]
         ) / eps
     else:
         sq = (
             (x * x).sum(-1)[:, None]
-            - 2 * jnp.dot(x, y_blk.T, preferred_element_type=acc)
+            - 2
+            * jnp.dot(
+                x, y_blk.T, preferred_element_type=acc, precision=COORD_PRECISION
+            )
             + (y_blk * y_blk).sum(-1)[None, :]
         )
         d = jnp.sqrt(jnp.clip(sq, min=SQDIST_FLOOR))
@@ -162,22 +167,38 @@ def _lse_points_raw(x, y, h, eps, p, impl):
 # ------------------------------------------------------------------------------
 
 
+#: Squared-distance cutoff below which distance-gradient weights are zeroed.
+#: The expansion-form ``|x|^2 - 2<x,y> + |y|^2`` carries ~1e-7 of f32 noise,
+#: so for pairs closer than ~1e-3 the computed direction ``(x-y)/d`` is pure
+#: noise amplified by ``1/d``. The reference's per-pair formula yields exact
+#: zeros on the diagonal (``sqrt(clamp_min(., 1e-8))`` has zero gradient in
+#: the clamped region, ``_legacy/utils.py:61``); zeroing is the faithful —
+#: and stable — streaming equivalent.
+GRAD_SQDIST_CUT = 1e-6
+
+
 def _gibbs_weight_dense(x, y, phi, psi, eps, p, kind):
     """Dense ``(N, M)`` weight matrix for one of the supported kinds."""
     if kind == "energy":
         return -cost_routines[1](x, y)
     if kind == "inv_dist":
-        return 1.0 / jnp.clip(cost_routines[1](x, y), min=1e-4)
-    C = cost_routines[p](x, y)
-    w = jnp.exp(phi[:, None] + psi[None, :] - C / eps)
+        sq = squared_distances(x, y)
+        d = jnp.sqrt(jnp.clip(sq, min=SQDIST_FLOOR))
+        return jnp.where(sq > GRAD_SQDIST_CUT, 1.0 / d, 0.0)
     if kind == "gibbs_grad" and p == 1:
-        w = w / jnp.clip(C, min=jnp.sqrt(SQDIST_FLOOR))
-    return w
+        sq = squared_distances(x, y)
+        d = jnp.sqrt(jnp.clip(sq, min=SQDIST_FLOOR))
+        w = jnp.exp(phi[:, None] + psi[None, :] - d / eps)
+        return jnp.where(sq > GRAD_SQDIST_CUT, w / d, 0.0)
+    C = cost_routines[p](x, y)
+    return jnp.exp(phi[:, None] + psi[None, :] - C / eps)
 
 
 def _gibbs_apply_dense(x, y, phi, psi, V, eps, p, kind):
     w = _gibbs_weight_dense(x, y, phi, psi, eps, p, kind)
-    return jnp.dot(w, V, preferred_element_type=_acc_dtype(V.dtype)).astype(V.dtype)
+    return jnp.dot(
+        w, V, preferred_element_type=_acc_dtype(V.dtype), precision=COORD_PRECISION
+    ).astype(V.dtype)
 
 
 def _gibbs_apply_scan(x, y, phi, psi, V, eps, p, kind, block_m=2048):
@@ -198,7 +219,13 @@ def _gibbs_apply_scan(x, y, phi, psi, V, eps, p, kind, block_m=2048):
     def body(acc, blk):
         y_blk, psi_blk, V_blk = blk
         w = _gibbs_weight_dense(x, y_blk, phi, psi_blk, eps, p, kind)
-        return acc + jnp.dot(w, V_blk, preferred_element_type=acc_dt), None
+        return (
+            acc
+            + jnp.dot(
+                w, V_blk, preferred_element_type=acc_dt, precision=COORD_PRECISION
+            ),
+            None,
+        )
 
     acc0 = jnp.zeros((x.shape[0], V.shape[-1]), dtype=acc_dt)
     acc, _ = lax.scan(body, acc0, (y_b, psi_b, V_b))

@@ -57,7 +57,10 @@ def test_full_mask_gradients_equal_dense():
         argnums=(0, 1, 2),
     )(x, y, h)
     for a, b in zip(gs, gd):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3,
+            atol=1e-3 * np.abs(np.asarray(b)).max() + 1e-9,
+        )
 
 
 def test_zero_weight_tiles_never_kept():
