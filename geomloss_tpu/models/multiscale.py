@@ -114,11 +114,18 @@ def spatial_sort_blocks(a, x, cluster_scale, diameter, block_size, pad_multiple=
     else:
         x_full, x_full_d, a_full = x, x_d, a
 
-    if Npad > (1 << 18):
-        # XLA's TPU sort network has pathological compile times at this
-        # scale: switch to Hilbert-curve keys + a linear-time radix sort
-        # (slightly looser tiles, O(1) compile size).
-        order = radix_sort_perm(hilbert_key(x_full_d))
+    if Npad > (1 << 12):
+        # XLA's TPU sort lowers to a bitonic network whose compile time
+        # explodes with size (558 s at N=10k measured): beyond a few
+        # thousand points, order by Hilbert-curve keys with a linear-time
+        # radix sort (slightly looser tiles, O(1) compile size). Key
+        # resolution targets ~4 points per Hilbert cell — deeper bits only
+        # refine the (irrelevant) order inside cells much smaller than a
+        # block, and every 3 bits is one more radix pass:
+        bits = max(4, min(10, math.ceil(math.log2(max(Npad, 2) / 4) / D)))
+        order = radix_sort_perm(
+            hilbert_key(x_full_d, bits=bits), total_bits=D * bits
+        )
     else:
         order = kd_sort_perm(x_full_d, min(block_size, pad_multiple))
     a_s, x_s = a_full[order], x_full[order]
