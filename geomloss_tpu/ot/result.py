@@ -213,6 +213,7 @@ class OTResult:
         "lazy_plan",
         "plan_operator",
         "value",
+        "value_linear",
         "marginal_a",
         "marginal_b",
         "a_to_b",
@@ -303,6 +304,18 @@ class OTResult:
             batchsize=self._batchsize,
         )
         return self.cast(values, "B")
+
+    def _value_linear(self):
+        r"""Linear part of the transport cost, $\langle \pi, C \rangle$,
+        without regularization or marginal-penalty terms (reference
+        ``_ot_result.py`` ``value_linear``). Computed from the plan
+        operator, so streaming results never materialize the plan."""
+        if self._C is not None:
+            plan = self.plan
+            C = self.cast(self._C, "C")
+            axes = tuple(range(plan.ndim - 2, plan.ndim))
+            return self.cast(jnp.sum(plan * C, axis=axes), "B")
+        return None
 
     # Marginal constraints ===============================================================
     def _marginal_a(self):

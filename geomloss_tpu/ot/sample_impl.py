@@ -220,6 +220,29 @@ class OTResultSample(OTResult):
             output_scaling=self.cast(self._a, "a"),
         )
 
+    def _value_linear(self):
+        r"""Linear transport cost $\langle \pi, C \rangle$ for the squared
+        Euclidean cost, computed in O(N + M) memory from plan moments:
+        $\sum_{ij} \pi_{ij} |x_i - y_j|^2 =
+        \sum_i \mu_i |x_i|^2 + \sum_j \nu_j |y_j|^2
+        - 2 \sum_i x_i \cdot (\pi y)_i$
+        where $\mu, \nu$ are the plan's marginals."""
+        if self._cost is not None:
+            # Custom cost: fall back to the dense plan:
+            plan = self.plan
+            C = cost_matrix(self._X_a, self._X_b, cost=self._cost)
+            return self.cast(jnp.sum(plan * C), "B")
+        x, y = self._X_a, self._X_b
+        mu = self.marginal_a
+        nu = self.marginal_b
+        cross = jnp.sum(x * (self.plan_operator @ y))
+        return self.cast(
+            jnp.dot(mu, (x**2).sum(-1))
+            + jnp.dot(nu, (y**2).sum(-1))
+            - 2.0 * cross,
+            "B",
+        )
+
     # Barycentric mappings ===============================================================
     def _a_to_b(self):
         r"""Barycentric map: for each source point $x_i$, the plan-weighted

@@ -116,6 +116,7 @@ class OTResultMatrix(OTResult):
         "lazy_plan",
         "plan_operator",
         "value",
+        "value_linear",
         "marginal_a",
         "marginal_b",
         "citation",
