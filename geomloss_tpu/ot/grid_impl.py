@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..models.sinkhorn_images import sinkhorn_divergence
 from ..ops.grid import softmin_grid
 from ..solvers.sinkhorn_loop import sinkhorn_cost as legacy_sinkhorn_cost
-from ..utils.cache import add_cached_methods_to_sphinx
+from ..utils.cache import lazy_properties
 from ..utils.typing import SinkhornPotentials
 from ..utils.validation import ArrayProperties, convert_inputs
 from .result import LinearOperator, OTResult
@@ -39,7 +39,7 @@ def _log_apply(eps, p, log_v, g_over_eps, D):
     return -softmin_grid(eps, p, log_v + g_over_eps, D=D) / eps
 
 
-@add_cached_methods_to_sphinx
+@lazy_properties
 class OTResultGrid(OTResult):
     """Result of an OT problem between grid measures.
 

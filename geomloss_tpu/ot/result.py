@@ -14,57 +14,67 @@ import math
 import jax.numpy as jnp
 
 from ..solvers.unbalanced import sinkhorn_cost
-from ..utils.cache import (
-    add_cached_methods_to_sphinx,
-    cache_clear,
-    cache_methods_and_properties,
-)
+from ..utils.cache import lazy_properties
 
 __all__ = ["LinearOperator", "OTResult"]
 
 
 class LinearOperator:
-    """Linear operator applied to arrays without being instantiated as a matrix.
+    r"""Matrix-free linear map ``y = diag(l) K diag(r) x``.
 
-    Mirrors the reference's ``LinearOperator`` (``_ot_result.py:7-161``):
-    ``@`` application, ``.T``/``transpose()``, ``shape``, ``from_dense``,
-    ``from_streaming`` (our replacement for ``from_lazy_tensor``) and
-    ``rescale``.
+    The role matches the reference's lazy-plan wrapper
+    (``_ot_result.py:7-161``), but the design differs: the raw kernel
+    ``K`` (a pair of forward/adjoint apply functions) is kept separate
+    from the diagonal scalings ``l``/``r``, which are stored as *data*.
+    Rescaling therefore composes by elementwise multiplication instead of
+    stacking closures — ``plan = density.rescale(...)`` costs two vector
+    products per application, however many times it is re-derived — and
+    transposition is a pure field swap.
+
+    Supports ``op @ x`` (with trailing channel dimensions broadcast),
+    ``op.T`` / ``op.transpose()`` and a SciPy-style 2D ``shape``.
     """
 
-    def __init__(self, *, matmat, rmatmat, input_shape, output_shape):
-        self._matmat = matmat
-        self._rmatmat = rmatmat
-        self._input_shape = tuple(input_shape)
-        self._output_shape = tuple(output_shape)
+    __slots__ = ("_fwd", "_adj", "_in_shape", "_out_shape", "_l", "_r")
 
+    def __init__(self, fwd, adj, in_shape, out_shape, l=None, r=None):
+        self._fwd = fwd  # (in_shape + (k,)) -> (out_shape + (k,))
+        self._adj = adj  # (out_shape + (k,)) -> (in_shape + (k,))
+        self._in_shape = tuple(in_shape)
+        self._out_shape = tuple(out_shape)
+        self._l = l  # optional diag over out_shape
+        self._r = r  # optional diag over in_shape
+
+    # -- application -------------------------------------------------------
     def __matmul__(self, x):
-        if (
-            len(x.shape) < len(self._input_shape)
-            or x.shape[: len(self._input_shape)] != self._input_shape
-        ):
+        nd = len(self._in_shape)
+        if x.shape[:nd] != self._in_shape:
             raise ValueError(
-                f"Expects an input of shape {self._input_shape} with, maybe, "
-                f"additional trailing dimensions, but found an array of "
+                f"This operator maps arrays of shape {self._in_shape} "
+                f"(plus optional trailing channel axes) to arrays of shape "
+                f"{self._out_shape}; it cannot be applied to an array of "
                 f"shape {x.shape}."
             )
-        trailing_shape = x.shape[len(self._input_shape):]
-        x_reshaped = x.reshape(self._input_shape + (-1,))
-        out = self._matmat(x_reshaped)
-        return out.reshape(self._output_shape + trailing_shape)
+        trailing = x.shape[nd:]
+        v = x.reshape(self._in_shape + (-1,))
+        if self._r is not None:
+            v = self._r[..., None] * v
+        y = self._fwd(v)
+        if self._l is not None:
+            y = self._l[..., None] * y
+        return y.reshape(self._out_shape + trailing)
 
+    # -- structure ---------------------------------------------------------
     @property
     def shape(self):
-        """For compatibility with SciPy's LinearOperator class."""
-        return (math.prod(self._output_shape), math.prod(self._input_shape))
+        """SciPy-compatible flattened (rows, cols)."""
+        return (math.prod(self._out_shape), math.prod(self._in_shape))
 
     def transpose(self):
-        """Returns the transposed linear operator."""
+        """The adjoint operator (kernel and scalings swap sides)."""
         return LinearOperator(
-            matmat=self._rmatmat,
-            rmatmat=self._matmat,
-            input_shape=self._output_shape,
-            output_shape=self._input_shape,
+            self._adj, self._fwd, self._out_shape, self._in_shape,
+            l=self._r, r=self._l,
         )
 
     @property
@@ -72,77 +82,50 @@ class LinearOperator:
         """Alias for :meth:`transpose`."""
         return self.transpose()
 
-    @classmethod
-    def from_dense(cls, dense_matrix, *, input_shape, output_shape):
-        """A :class:`LinearOperator` that behaves like the given dense matrix."""
-        if len(dense_matrix.shape) == 2:
-            N, M = dense_matrix.shape
-            assert input_shape == (M,)
-            assert output_shape == (N,)
-
-            def matmat(s):
-                return dense_matrix @ s
-
-            def rmatmat(s):
-                return dense_matrix.T @ s
-
-        elif len(dense_matrix.shape) == 3:
-            B, N, M = dense_matrix.shape
-            assert input_shape == (B, M)
-            assert output_shape == (B, N)
-
-            def matmat(s):
-                return dense_matrix @ s
-
-            def rmatmat(s):
-                return jnp.swapaxes(dense_matrix, 1, 2) @ s
-
-        else:
+    def rescale(self, *, input_scaling, output_scaling):
+        """``diag(output_scaling) @ self @ diag(input_scaling)`` — composes
+        with existing scalings by elementwise multiplication."""
+        if output_scaling.shape != self._out_shape:
             raise ValueError(
-                "Expected a dense matrix of shape (N, M) or (B, N, M), "
-                f"but found an array of shape {dense_matrix.shape}."
+                f"output_scaling must have shape {self._out_shape}, "
+                f"got {output_scaling.shape}."
             )
+        if input_scaling.shape != self._in_shape:
+            raise ValueError(
+                f"input_scaling must have shape {self._in_shape}, "
+                f"got {input_scaling.shape}."
+            )
+        l = output_scaling if self._l is None else self._l * output_scaling
+        r = input_scaling if self._r is None else self._r * input_scaling
+        return LinearOperator(
+            self._fwd, self._adj, self._in_shape, self._out_shape, l=l, r=r
+        )
 
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def from_dense(cls, matrix, *, input_shape, output_shape):
+        """Wrap a dense ``(N, M)`` or batched ``(B, N, M)`` matrix."""
+        if matrix.ndim not in (2, 3):
+            raise ValueError(
+                f"from_dense expects an (N, M) or (B, N, M) array, "
+                f"got shape {matrix.shape}."
+            )
+        mT = jnp.swapaxes(matrix, -1, -2)
         return cls(
-            matmat=matmat,
-            rmatmat=rmatmat,
-            input_shape=input_shape,
-            output_shape=output_shape,
+            lambda v: matrix @ v,
+            lambda v: mT @ v,
+            input_shape,
+            output_shape,
         )
 
     @classmethod
     def from_streaming(cls, *, matmat, rmatmat, input_shape, output_shape):
-        """A :class:`LinearOperator` backed by streaming (never-materialized)
-        kernels — the TPU-native analogue of ``from_lazy_tensor``."""
-        return cls(
-            matmat=matmat,
-            rmatmat=rmatmat,
-            input_shape=input_shape,
-            output_shape=output_shape,
-        )
-
-    def rescale(self, *, input_scaling, output_scaling):
-        """diag(output_scaling) @ self @ diag(input_scaling)."""
-        b = input_scaling
-        a = output_scaling
-        assert a.shape == self._output_shape
-        assert b.shape == self._input_shape
-
-        def matmat(s):
-            return a[..., None] * (self @ (b[..., None] * s))
-
-        def rmatmat(s):
-            return b[..., None] * (self.T @ (a[..., None] * s))
-
-        return LinearOperator(
-            matmat=matmat,
-            rmatmat=rmatmat,
-            input_shape=self._input_shape,
-            output_shape=self._output_shape,
-        )
+        """Wrap a pair of streaming (never-materialized) kernels — the
+        TPU-native analogue of the reference's ``from_lazy_tensor``."""
+        return cls(matmat, rmatmat, input_shape, output_shape)
 
 
-@add_cached_methods_to_sphinx
+@lazy_properties
 class OTResult:
     """Abstract base class for optimal transport results.
 
@@ -194,13 +177,6 @@ class OTResult:
         self._lazy_plan = lazy_plan
         self._backend = backend
 
-        cache_methods_and_properties(
-            cls=self.__class__,
-            instance=self,
-            cache_size=1,
-        )
-
-    _cached_methods = ()
     _cached_properties = (
         "potential_a",
         "potential_b",
@@ -220,8 +196,6 @@ class OTResult:
         "b_to_a",
         "citation",
     )
-
-    cache_clear = cache_clear
 
     def cast(self, x, shape):
         return jnp.asarray(x, dtype=self._array_properties.dtype).reshape(

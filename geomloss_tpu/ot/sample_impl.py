@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from ..ops.softmin import gibbs_apply, lse_points
 from ..solvers.annealing import annealing_parameters, max_diameter
 from ..solvers.sinkhorn_ot import sinkhorn_loop
-from ..utils.cache import add_cached_methods_to_sphinx
+from ..utils.cache import lazy_properties
 from ..utils.typing import CostMatrices
 from ..utils.validation import (
     ArrayProperties,
@@ -101,7 +101,7 @@ def softmin_sample(eps, log_weights, costs, potentials):
         return -eps * jax.nn.logsumexp(scores_xy, axis=1)
 
 
-@add_cached_methods_to_sphinx
+@lazy_properties
 class OTResultSample(OTResult):
     """Result of an OT problem computed from point positions
     (reference ``sample.py:443-639``)."""
@@ -285,6 +285,21 @@ def solve_sample(
     softmin kernels (Pallas on TPU) so the cost matrix is never
     materialized, and the result's ``density_operator`` / ``lazy_plan``
     are streaming operators.
+
+    Example:
+        >>> import numpy as np
+        >>> from geomloss_tpu import ot
+        >>> sol = ot.solve_sample(X_a=[[0., 0.], [1., 1.]],
+        ...                       X_b=[[0., 1.], [1., 0.]],
+        ...                       reg=0.01, max_iter=200)
+        >>> print(round(float(sol.value_linear), 3))
+        1.0
+        >>> print(np.asarray(sol.plan).round(2))
+        [[0.25 0.25]
+         [0.25 0.25]]
+        >>> print(np.asarray(sol.a_to_b).round(2))
+        [[0.5 0.5]
+         [0.5 0.5]]
     """
     if cost == "sqeuclidean":
         p = 2

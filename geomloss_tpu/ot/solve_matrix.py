@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..solvers.annealing import annealing_parameters
 from ..solvers.sinkhorn_ot import sinkhorn_loop
-from ..utils.cache import add_cached_methods_to_sphinx
+from ..utils.cache import lazy_properties
 from ..utils.typing import CostMatrices
 from ..utils.validation import (
     ArrayProperties,
@@ -65,7 +65,7 @@ def stable_log(a):
     return jnp.where(a > 0, jnp.log(jnp.maximum(a, 1e-45)), -100000.0)
 
 
-@add_cached_methods_to_sphinx
+@lazy_properties
 class OTResultMatrix(OTResult):
     """Result of an OT problem computed from an explicit cost matrix.
 
@@ -193,12 +193,17 @@ def solve(
     ``potential_a/b`` and ``marginal_a/b`` attributes.
 
     Example:
+        >>> import numpy as np
         >>> from geomloss_tpu import ot
         >>> sol = ot.solve(C=[[0., 1., 4.], [2., 1., 0.]],
-        ...                a=[2, 2], b=[1, 1, 2], reg=0.001, max_iter=100)
-        >>> sol.plan.round(3)  # doctest: +SKIP
+        ...                a=[2., 2.], b=[1., 1., 2.], reg=0.001, max_iter=100)
+        >>> print(np.asarray(sol.plan).round(3))
         [[1. 1. 0.]
          [0. 0. 2.]]
+        >>> print(round(float(sol.value_linear), 3))
+        1.0
+        >>> print(np.asarray(sol.marginal_a).round(3))
+        [2. 2.]
     """
     if len(C.shape) != 2:
         raise ValueError(

@@ -1,76 +1,53 @@
-"""Per-instance caching machinery for lazily-computed result attributes.
+"""Lazily-computed, resettable result attributes.
 
-Re-implementation of the reference's ``_cache.py``
-(``/root/reference/src/geomloss/_cache.py:4-91``): result objects such as
-``OTResult`` expose expensive attributes (``plan``, ``value``,
-``marginal_a``...) as immutable cached properties, computed on first
-access. ``cache_clear`` resets them.
+Result objects (:class:`~geomloss_tpu.ot.result.OTResult` and friends)
+expose expensive quantities — ``plan``, ``value``, ``marginal_a``... —
+that should be computed at most once per instance. Classes list the
+public names in ``_cached_properties`` and implement each as a private
+``_name()`` method; the :func:`lazy_properties` class decorator installs
+the matching read-only properties. (Same job as the reference's
+``_cache.py`` registry, re-expressed as a plain class decorator: no
+per-instance property installation, no ``lru_cache`` bound methods.)
 """
 
-import functools
+__all__ = ["lazy_properties", "add_cached_methods_to_sphinx"]
 
-__all__ = [
-    "cache_clear",
-    "immutable_cached_property",
-    "add_cached_methods_to_sphinx",
-    "cache_methods_and_properties",
-]
+_CACHE_ATTR = "_lazy_cache"
 
 
-def cache_clear(self):
-    """Reset all cached methods and properties of an instance."""
-    if hasattr(self, "_cached_methods"):
-        for name in self._cached_methods:
-            cached_method = getattr(self, name, None)
-            if hasattr(cached_method, "cache_clear"):
-                cached_method.cache_clear()
+def _make_property(name):
+    impl_name = "_" + name
 
-    if hasattr(self, "_cached_properties"):
-        for name in self._cached_properties:
-            if hasattr(self, "_cached_" + name):
-                delattr(self, "_cached_" + name)
+    def getter(self):
+        cache = self.__dict__.setdefault(_CACHE_ATTR, {})
+        if name not in cache:
+            # Resolve the implementation on the class: result constructors
+            # also stash raw inputs under the same "_name" slots, which
+            # must not shadow the compute methods.
+            cache[name] = getattr(type(self), impl_name)(self)
+        return cache[name]
 
-
-def immutable_cached_property(*, function, cache):
-    """Like ``functools.cached_property`` but read-only and pytest-doc friendly."""
-
-    def cached_func(self):
-        if not cache:
-            return function(self)
-        attr = "_cached_" + function.__name__.lstrip("_")
-        if not hasattr(self, attr):
-            setattr(self, attr, function(self))
-        return getattr(self, attr)
-
-    cached_func.__doc__ = function.__doc__
-    return property(cached_func)
+    getter.__name__ = name
+    return property(getter, doc=None)
 
 
-def add_cached_methods_to_sphinx(cls):
-    """Expose ``_name`` implementations as documented ``name`` properties."""
-    for method_name in getattr(cls, "_cached_methods", ()):
-        setattr(cls, method_name, getattr(cls, "_" + method_name))
-    for method_name in getattr(cls, "_cached_properties", ()):
-        setattr(cls, method_name, property(getattr(cls, "_" + method_name)))
+def lazy_properties(cls):
+    """Class decorator: for every ``name`` in ``cls._cached_properties``,
+    expose a read-only property backed by ``cls._name()`` whose result is
+    cached per instance. Adds a ``cache_clear()`` method that drops every
+    cached value (e.g. after in-place potential updates)."""
+    for name in getattr(cls, "_cached_properties", ()):
+        prop = _make_property(name)
+        prop.fget.__doc__ = getattr(cls, "_" + name).__doc__
+        setattr(cls, name, prop)
+
+    def cache_clear(self):
+        """Forget every lazily-computed attribute of this instance."""
+        self.__dict__.pop(_CACHE_ATTR, None)
+
+    cls.cache_clear = cache_clear
     return cls
 
 
-def cache_methods_and_properties(*, cls, instance, cache_size):
-    """Install memoized versions of the ``_name`` implementations."""
-    for method_name in getattr(instance, "_cached_methods", ()):
-        setattr(
-            instance,
-            method_name,
-            functools.lru_cache(maxsize=cache_size)(
-                getattr(instance, "_" + method_name)
-            ),
-        )
-    for method_name in getattr(instance, "_cached_properties", ()):
-        setattr(
-            cls,
-            method_name,
-            immutable_cached_property(
-                function=getattr(cls, "_" + method_name),
-                cache=cache_size != 0,
-            ),
-        )
+#: Backwards-compatible alias (older modules decorate with this name).
+add_cached_methods_to_sphinx = lazy_properties

@@ -126,8 +126,14 @@ def check_marginal_masses(sums_a, sums_b, rtol=1e-3):
 
 
 def convert_inputs(*param_names):
-    """Decorator: convert list/tuple arguments to float64 arrays
-    (reference ``_input_validation/converters.py:12-46``)."""
+    """Decorator: convert list/tuple/numpy arguments to JAX arrays
+    (reference ``_input_validation/converters.py:12-46``).
+
+    The reference keeps numpy arrays as a first-class backend; in this
+    single-library build they are converted to JAX arrays up front —
+    otherwise numpy 2.0's ``.device == "cpu"`` attribute trips the
+    mixed-device check against internally-created device arrays.
+    """
 
     def decorator(func):
         @wraps(func)
@@ -140,6 +146,9 @@ def convert_inputs(*param_names):
                     value = bound_args.arguments[param_name]
                     if isinstance(value, (list, tuple)):
                         value = jnp.asarray(np.array(value, dtype=np.float64))
+                        bound_args.arguments[param_name] = value
+                    elif isinstance(value, np.ndarray):
+                        value = jnp.asarray(value)
                         bound_args.arguments[param_name] = value
             return func(*bound_args.args, **bound_args.kwargs)
 
