@@ -80,13 +80,20 @@ def kd_sort_perm(x, leaf_size):
     return idx
 
 
-def spatial_sort_blocks(a, x, cluster_scale, diameter, block_size, pad_multiple=TILE):
+def spatial_sort_blocks(
+    a, x, cluster_scale, diameter, block_size, pad_multiple=TILE, labels=None
+):
     """KD-sort a measure and group it into fixed-size blocks.
 
     Returns ``(w_coarse, a_sorted), (centroids, x_sorted), perm`` where the
     sorted arrays are padded to ``pad_multiple * 2^k`` (padding has zero
     weight and sits in a far corner so it occupies dedicated tiles) and
     ``perm`` maps original -> position among the first N sorted slots.
+
+    When integer ``labels`` are given (the reference's user-supplied
+    clusters, ``_legacy/clustering.py``), points are ordered by
+    (label, Hilbert index): blocks then respect label boundaries up to
+    block granularity, so the coarse phase sees label-coherent clusters.
     """
     N, D = x.shape
 
@@ -114,7 +121,21 @@ def spatial_sort_blocks(a, x, cluster_scale, diameter, block_size, pad_multiple=
     else:
         x_full, x_full_d, a_full = x, x_d, a
 
-    if Npad > (1 << 12):
+    bits = max(4, min(10, math.ceil(math.log2(max(Npad, 2) / 4) / D)))
+    if labels is not None:
+        # Stable two-pass composition: Hilbert order within each label.
+        lab = jnp.concatenate(
+            [
+                jnp.asarray(labels, jnp.int32).reshape(-1),
+                jnp.full((Npad - N,), 0, jnp.int32),
+            ]
+        ) if Npad != N else jnp.asarray(labels, jnp.int32).reshape(-1)
+        perm1 = radix_sort_perm(
+            hilbert_key(x_full_d, bits=bits), total_bits=D * bits
+        )
+        perm2 = radix_sort_perm(lab[perm1], total_bits=18)
+        order = perm1[perm2]
+    elif Npad > (1 << 12):
         # XLA's TPU sort lowers to a bitonic network whose compile time
         # explodes with size (558 s at N=10k measured): beyond a few
         # thousand points, order by Hilbert-curve keys with a linear-time
@@ -122,7 +143,6 @@ def spatial_sort_blocks(a, x, cluster_scale, diameter, block_size, pad_multiple=
         # resolution targets ~4 points per Hilbert cell — deeper bits only
         # refine the (irrelevant) order inside cells much smaller than a
         # block, and every 3 bits is one more radix pass:
-        bits = max(4, min(10, math.ceil(math.log2(max(Npad, 2) / 4) / D)))
         order = radix_sort_perm(
             hilbert_key(x_full_d, bits=bits), total_bits=D * bits
         )
@@ -205,11 +225,6 @@ def sinkhorn_multiscale(
             "Custom costs are not supported by the multiscale backend "
             "(the reference requires KeOps formula strings here)."
         )
-    if labels_x is not None or labels_y is not None:
-        raise NotImplementedError(
-            "User-supplied cluster labels are not supported by the "
-            "fixed-block multiscale backend; use cluster_scale instead."
-        )
     N, D = x.shape
     M, _ = y.shape
 
@@ -236,10 +251,12 @@ def sinkhorn_multiscale(
             block_size *= 2
 
     (aw_c, a_s), (x_c, x_s), perm_x = spatial_sort_blocks(
-        a, x, cluster_scale, diameter, block_size, pad_multiple=tile
+        a, x, cluster_scale, diameter, block_size, pad_multiple=tile,
+        labels=labels_x,
     )
     (bw_c, b_s), (y_c, y_s), perm_y = spatial_sort_blocks(
-        b, y, cluster_scale, diameter, block_size, pad_multiple=tile
+        b, y, cluster_scale, diameter, block_size, pad_multiple=tile,
+        labels=labels_y,
     )
 
     # Jump index (reference ``:593-597``):

@@ -108,7 +108,11 @@ def _lse_axis(A, K_log):
         expA, K.T, preferred_element_type=expA.dtype,
         precision=lax.Precision.HIGHEST,
     )
-    return m + jnp.log(jnp.maximum(conv, 1e-300 if A.dtype == jnp.float64 else 1e-38))
+    # N.B.: the floor must be a NORMAL float for the dtype — f32 subnormals
+    # (anything below ~1.18e-38) flush to zero, which would turn the floor
+    # into a no-op and the log into -inf on empty rows:
+    floor = 1e-300 if A.dtype == jnp.float64 else 1e-30
+    return m + jnp.log(jnp.maximum(conv, floor))
 
 
 def softmin_grid(eps, C_xy, h_y, D=None):

@@ -9,6 +9,9 @@ import jax.numpy as jnp
 from geomloss_tpu import SamplesLoss
 
 
+pytestmark = pytest.mark.slow
+
+
 def _clouds(N=700, M=750, seed=0):
     rng = np.random.RandomState(seed)
     x = jnp.asarray(rng.rand(N, 3), jnp.float64)

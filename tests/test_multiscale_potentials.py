@@ -5,6 +5,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from geomloss_tpu import SamplesLoss
+import pytest
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_multiscale_potentials_match_tensorized():

@@ -15,6 +15,9 @@ from geomloss_tpu import ot
 # ------------------------------------------------------------------ helpers
 
 
+pytestmark = pytest.mark.slow
+
+
 def _check_marginals(res, a, b, atol=1e-4):
     plan = np.asarray(res.plan)
     np.testing.assert_allclose(plan.sum(axis=-1), a, atol=atol, rtol=1e-3)

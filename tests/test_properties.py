@@ -5,6 +5,10 @@ import numpy as np
 from hypothesis import given, settings, strategies as st
 
 from geomloss_tpu import ot
+import pytest
+
+
+pytestmark = pytest.mark.slow
 
 
 @st.composite

@@ -17,6 +17,9 @@ from geomloss import SamplesLoss as RefSamplesLoss  # noqa: E402
 from geomloss_tpu import SamplesLoss  # noqa: E402
 
 
+pytestmark = pytest.mark.golden
+
+
 def _clouds(N=40, M=55, D=3, seed=0, batch=0):
     rng = np.random.RandomState(seed)
     shape_x = (batch, N, D) if batch else (N, D)

@@ -9,6 +9,9 @@ import jax.numpy as jnp
 from geomloss_tpu import ot
 
 
+pytestmark = pytest.mark.slow
+
+
 def _gaussian_image(N, cx, cy, s):
     x = np.arange(N) / N
     g = np.exp(-((x[:, None] - cx) ** 2 + (x[None, :] - cy) ** 2) / (2 * s**2))

@@ -5,6 +5,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from geomloss_tpu import ot
+import pytest
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_solve_sample_batch_matches_single_solves():

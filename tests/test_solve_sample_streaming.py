@@ -7,6 +7,10 @@ import jax.numpy as jnp
 
 import geomloss_tpu.ot.sample_impl as ss
 from geomloss_tpu import ot
+import pytest
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_streaming_solver_matches_dense(monkeypatch):

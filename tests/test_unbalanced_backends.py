@@ -6,6 +6,10 @@ import jax
 import jax.numpy as jnp
 
 from geomloss_tpu import SamplesLoss
+import pytest
+
+
+pytestmark = pytest.mark.slow
 
 
 def _clouds(N=80, M=90, seed=0):

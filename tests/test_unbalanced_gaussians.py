@@ -19,6 +19,9 @@ from oracle_utils import gaussian_grid_weights, uot_gaussian_1d
 
 N, M = 96, 112
 
+pytestmark = pytest.mark.slow
+
+
 CASES = [
     # mu_a, std_a, mass_a, mu_b, std_b, mass_b, blur, reach
     (0.2, 0.15, 1.0, 0.8, 0.2, 1.0, 0.3, 1.0),

@@ -6,6 +6,10 @@ import jax
 import jax.numpy as jnp
 
 from geomloss_tpu.models.sinkhorn_samples import sinkhorn_online
+import pytest
+
+
+pytestmark = pytest.mark.slow
 
 
 def _clouds(N=120, M=130, seed=0):
