@@ -41,7 +41,12 @@ from ..ops.spatial import hilbert_key, radix_sort_perm
 from ..solvers.annealing import dampening, scaling_parameters
 from ..solvers.sinkhorn_loop import log_weights, sinkhorn_cost
 
-__all__ = ["sinkhorn_multiscale", "spatial_sort_blocks"]
+__all__ = [
+    "sinkhorn_multiscale",
+    "spatial_sort_blocks",
+    "default_cluster_scale",
+    "jump_index",
+]
 
 #: Kernel tile size of the block-sparse fine phase. Padded cloud sizes are
 #: multiples of this, and the cluster block size divides it.
@@ -50,6 +55,24 @@ TILE = 512
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def default_cluster_scale(diameter, D):
+    """The reference's default coarse resolution: ~2000 clusters
+    (``_legacy/sinkhorn_samples.py:583-584``)."""
+    return diameter / (math.sqrt(D) * 2000 ** (1 / D))
+
+
+def jump_index(eps_list, cluster_scale, p):
+    """Index of the coarse-to-fine jump iteration: the first step (past the
+    two warm-up iterations) whose temperature resolves the cluster scale,
+    else the last iteration (``_legacy/sinkhorn_samples.py:592-597``)."""
+    jump = len(eps_list) - 1
+    for i, e in enumerate(eps_list[2:]):
+        if cluster_scale**p > e:
+            jump = i + 1
+            break
+    return jump
 
 
 def kd_sort_perm(x, leaf_size):
@@ -233,7 +256,7 @@ def sinkhorn_multiscale(
     )
 
     if cluster_scale is None:
-        cluster_scale = diameter / (math.sqrt(D) * 2000 ** (1 / D))
+        cluster_scale = default_cluster_scale(diameter, D)
 
     if tile == "auto":
         # Bigger kernel tiles at large N keep the truncation tables within
@@ -260,11 +283,7 @@ def sinkhorn_multiscale(
     )
 
     # Jump index (reference ``:593-597``):
-    jump = len(eps_list) - 1
-    for i, e in enumerate(eps_list[2:]):
-        if cluster_scale**p > e:
-            jump = i + 1
-            break
+    jump = jump_index(eps_list, cluster_scale, p)
 
     if verbose:
         print(
