@@ -125,14 +125,10 @@ def sinkhorn_online(
     run only ``warm_start_iters`` iterations at the target temperature —
     the natural mode for gradient flows where the clouds move slowly.
     """
-    if cost is not None:
-        raise NotImplementedError(
-            "Custom cost functions are not supported by the online backend; "
-            "use backend='tensorized' (the reference's online backend only "
-            "accepts KeOps formula strings, which do not apply on TPU)."
-        )
-
-    softmin = partial(softmin_points, p=p, impl=impl)
+    # An extension over the reference: its online backend only accepts
+    # KeOps formula strings (``_legacy/sinkhorn_samples.py:316-334``); any
+    # traced JAX callable streams through the chunked softmin here.
+    softmin = partial(softmin_points, p=p, impl=impl, cost=cost)
 
     sg = lax.stop_gradient
     C_xy, C_yx = (x, sg(y)), (y, sg(x))

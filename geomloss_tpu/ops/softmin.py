@@ -51,6 +51,7 @@ __all__ = [
     "softmin_points",
     "gibbs_apply",
     "lse_points",
+    "lse_points_custom",
 ]
 
 
@@ -327,7 +328,43 @@ def _lse_points_bwd(p, impl, res, u):
 lse_points.defvjp(_lse_points_fwd, _lse_points_bwd)
 
 
-def softmin_points(eps, C_xy, h, p=2, impl="auto"):
+def lse_points_custom(x, y, h, eps, cost, block_m=2048):
+    r"""Streaming LSE with a user-supplied cost callable.
+
+    The reference's online backend only accepts KeOps *formula strings*
+    (``_legacy/sinkhorn_samples.py:316-334``); here any traced JAX
+    callable ``cost((1,N,D), (1,BM,D)) -> (1,N,BM)`` works — evaluated
+    chunk by chunk inside a rematerialized ``lax.scan``, so both the
+    forward pass and plain autodiff run in O(N * BM) memory.
+    """
+    N, M = x.shape[0], y.shape[0]
+    bm = min(block_m, M)
+    n_blocks = -(-M // bm)
+    pad = n_blocks * bm - M
+    if pad:
+        y = jnp.pad(y, ((0, pad), (0, 0)), mode="edge")
+        h = jnp.pad(h, (0, pad), constant_values=-1e30)
+    y_blocks = y.reshape(n_blocks, bm, -1)
+    h_blocks = h.reshape(n_blocks, bm)
+
+    @jax.checkpoint
+    def body(carry, blk):
+        m, s = carry
+        y_blk, h_blk = blk
+        C = cost(x[None], y_blk[None])[0]  # (N, BM)
+        scores = h_blk[None, :] - C / eps
+        blk_max = scores.max(axis=-1)
+        new_m = jnp.maximum(m, blk_max)
+        s = s * jnp.exp(m - new_m) + jnp.exp(scores - new_m[:, None]).sum(-1)
+        return (new_m, s), None
+
+    m0 = jnp.full((N,), -1e30, dtype=x.dtype)
+    s0 = jnp.zeros((N,), dtype=x.dtype)
+    (m, s), _ = lax.scan(body, (m0, s0), (y_blocks, h_blocks))
+    return m + jnp.log(s)
+
+
+def softmin_points(eps, C_xy, h, p=2, impl="auto", cost=None):
     """Online softmin on point clouds — the "online"/"multiscale" softmin.
 
     Args:
@@ -339,12 +376,20 @@ def softmin_points(eps, C_xy, h, p=2, impl="auto"):
         h: ``(M,)`` or ``(B, M)`` dual vector.
         p: 1 or 2 (static).
         impl: 'auto' | 'dense' | 'scan' | 'pallas' (static).
+        cost: optional callable ``(B,N,D),(B,M,D) -> (B,N,M)`` replacing
+            the built-in ``|x-y|^p / p`` costs (streamed chunk by chunk;
+            gradients via rematerialized autodiff).
 
     Returns:
         ``(N,)`` or ``(B, N)`` potential.
     """
     x, y = C_xy
     eps = jnp.asarray(eps, dtype=x.dtype)
+    if cost is not None:
+        if x.ndim == 3:
+            fn = jax.vmap(lambda xb, yb, hb: lse_points_custom(xb, yb, hb, eps, cost))
+            return -eps * fn(x, y, h)
+        return -eps * lse_points_custom(x, y, h, eps, cost)
     if x.ndim == 3:
         fn = jax.vmap(lambda xb, yb, hb: lse_points(xb, yb, hb, eps, p, impl))
         return -eps * fn(x, y, h)
