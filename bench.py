@@ -49,10 +49,11 @@ def main():
 
     def run_sync(x, y):
         # N.B.: on tunneled TPU runtimes `block_until_ready` can return
-        # before execution has drained; fetching values to host is the
-        # only reliable synchronization.
+        # before execution has drained; fetching a value to host is the
+        # only reliable synchronization. Combine loss and a gradient
+        # element on-device so one round trip synchronizes both.
         v, g = step(x, y)
-        return float(v) + float(g[0, 0])
+        return float(v + g[0, 0])
 
     # Warm-up / compile:
     run_sync(x, y)

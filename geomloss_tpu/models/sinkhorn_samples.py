@@ -20,8 +20,16 @@ import jax
 
 from jax import lax
 
+import jax.numpy as jnp
+
 from ..ops.costs import cost_routines
-from ..ops.softmin import softmin_dense, softmin_points
+from ..ops.softmin import (
+    sinkhorn_step_points,
+    softmin_dense,
+    softmin_extrapolation,
+    softmin_extrapolation_sym,
+    softmin_points,
+)
 from ..solvers.annealing import scaling_parameters
 from ..solvers.sinkhorn_loop import log_weights, sinkhorn_cost, sinkhorn_loop
 
@@ -130,6 +138,66 @@ def sinkhorn_online(
     # traced JAX callable streams through the chunked softmin here.
     softmin = partial(softmin_points, p=p, impl=impl, cost=cost)
 
+    # For the built-in costs, the annealing loop runs on a *fused* step:
+    # both softmin directions of each Jacobi iteration from a single pass
+    # over the pair interactions (half the sweeps of the reference's four
+    # KeOps launches per iteration — see ops/softmin.py).
+    if cost is None:
+
+        def fused_step(eps, C_xy, C_yx, a_log, b_log, f, g, sym=False):
+            x_, y_ = C_xy[0], C_yx[0]
+            if x_.ndim == 3:  # static batch axis: unroll (B is small)
+                outs = [
+                    sinkhorn_step_points(
+                        eps, x_[i], y_[i], a_log[i], b_log[i], f[i], g[i],
+                        p=p, impl=impl, sym=sym,
+                    )
+                    for i in range(x_.shape[0])
+                ]
+                S_xy = jnp.stack([o[0] for o in outs])
+                S_yx = None if sym else jnp.stack([o[1] for o in outs])
+                return S_xy, S_yx
+            return sinkhorn_step_points(
+                eps, x_, y_, a_log, b_log, f, g, p=p, impl=impl, sym=sym
+            )
+
+        def _unbatch(fn, *args):
+            if args[0].ndim == 3:  # static batch axis: unroll (B is small)
+                outs = [fn(*(a[i] for a in args)) for i in range(args[0].shape[0])]
+                if isinstance(outs[0], tuple):
+                    return tuple(jnp.stack([o[d] for o in outs]) for d in range(len(outs[0])))
+                return jnp.stack(outs)
+            return fn(*args)
+
+        def fused_last(
+            eps, damping, C_xy, C_yx, C_xx, C_yy,
+            a_log, b_log, f_ba, g_ab, f_aa, g_bb,
+        ):
+            # Differentiable fused extrapolation: gradients flow to x / y
+            # through their own direction only (detached-cost convention).
+            sg = lax.stop_gradient
+            x_, y_ = C_xy[0], C_yx[0]
+            S_xy, S_yx = _unbatch(
+                lambda *t: softmin_extrapolation(*t, eps, p, impl),
+                x_, y_, sg(f_ba), sg(g_ab), sg(a_log), sg(b_log),
+            )
+            f_new, g_new = damping * S_xy, damping * S_yx
+            if debias:
+                S_xx = _unbatch(
+                    lambda *t: softmin_extrapolation_sym(*t, eps, p, impl),
+                    C_xx[0], sg(f_aa), sg(a_log),
+                )
+                S_yy = _unbatch(
+                    lambda *t: softmin_extrapolation_sym(*t, eps, p, impl),
+                    C_yy[0], sg(g_bb), sg(b_log),
+                )
+                f_aa, g_bb = damping * S_xx, damping * S_yy
+            return f_new, g_new, f_aa, g_bb
+
+    else:
+        fused_step = None
+        fused_last = None
+
     sg = lax.stop_gradient
     C_xy, C_yx = (x, sg(y)), (y, sg(x))
     C_xx, C_yy = ((x, sg(x)), (y, sg(y))) if debias else (None, None)
@@ -155,6 +223,8 @@ def sinkhorn_online(
         rho,
         debias=debias,
         init_potentials=init_potentials,
+        fused_step=fused_step,
+        fused_last=fused_last,
     )
 
     if potentials == "raw":

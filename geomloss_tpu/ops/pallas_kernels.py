@@ -41,7 +41,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lse_pallas", "gibbs_apply_pallas"]
+__all__ = ["lse_pallas", "gibbs_apply_pallas", "sinkhorn_step_pallas"]
 
 NEG_INF = -1e30
 DEFAULT_BLOCK_N = 1024
@@ -224,6 +224,176 @@ def lse_pallas(
     if p == 2:
         out = out - 0.5 * (x32**2).sum(-1) / eps32
     return out
+
+
+# ==============================================================================
+#  Fused symmetric Sinkhorn step (single-pass absorbed softmin, both directions)
+# ==============================================================================
+#
+# The Jacobi-style Sinkhorn iteration (reference
+# ``_legacy/sinkhorn_divergence.py:480-493``) evaluates two softmins per
+# cost matrix from the *same* pair of potentials:
+#
+#     S_xy[i] = -eps log sum_j exp(log b_j + (g_j - C_ij)/eps)
+#     S_yx[j] = -eps log sum_i exp(log a_i + (f_i - C_ij)/eps)
+#
+# Both are recovered from one pass over the "absorbed" Gibbs matrix
+#
+#     W_ij = exp(log a_i + log b_j + (f_i + g_j - C_ij)/eps),
+#
+# namely  S_xy = f + eps (log a - log rowsum(W))  and
+#         S_yx = g + eps (log b - log colsum(W)):
+# half the pair count of two separate softmin sweeps. Moreover, W needs
+# **no running-max pass**: after any damped-averaged symmetric update at
+# temperature ``eps``, the exact-update bound ``ft_i <= min_j (C_ij - g_j
+# - eps log b_j)`` gives ``f + g - C <= -eps (log a_i + log b_j)/2``
+# elementwise, i.e. ``W <= 1``; after the next annealing step
+# (``eps' = eps * scaling^p >= eps/4`` in practice) the entries stay below
+# ``(N M)^{3/2} ~ 2^50`` — far from f32 overflow, so a single exp2-sum
+# pass (the 0.69 T pairs/s regime) is safe where the generic two-pass LSE
+# kernel (0.45 T pairs/s) is not. Underflowing summands are harmless, and
+# a floor on the row/column sums (`_SUM_FLOOR`) turns the impossible
+# all-underflow row into a bounded absorbed update (Schmitzer-style
+# absorption self-corrects on the next iteration) rather than an inf.
+#
+# This kernel implements the KeOps ``softmin_online_lazytensor`` semantics
+# (``_legacy/sinkhorn_samples.py:229-290``) but fuses the two reduction
+# directions that the reference launches as separate CUDA kernels.
+
+
+def _pair_step_kernel(
+    eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref, sqx_ref, sqy_ref,
+    r_ref, c_ref, racc_ref, *, p, with_cols
+):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        racc_ref[:] = jnp.zeros_like(racc_ref)
+
+    c2 = LOG2E / eps_ref[0, 0]
+    if p == 2:
+        scores = _scores_dot(xhT_ref[:], yhT_ref[:])  # (BN, BM)
+        E = phi_ref[:] + (psi_ref[:] + scores * c2)
+    else:
+        scores = _scores_dot(xhT_ref[:], yhT_ref[:])
+        sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
+        d = jnp.sqrt(jnp.maximum(sq, 1e-8))
+        E = phi_ref[:] + (psi_ref[:] - d * c2)
+    W = jnp.exp2(E)
+
+    racc_ref[:] += jnp.sum(W, axis=1, keepdims=True)
+    if with_cols:
+        c_ref[:] = jnp.sum(W, axis=0, keepdims=True)[None]
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        r_ref[:] = racc_ref[:]
+
+
+#: Floor on the absorbed row/column sums: caps the per-iteration potential
+#: change at ~85*eps nats instead of producing an inf (see block comment).
+_SUM_FLOOR = 1e-37
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p", "sym", "block_n", "block_m")
+)
+def sinkhorn_step_pallas(
+    x,
+    y,
+    f,
+    g,
+    loga,
+    logb,
+    eps,
+    p=2,
+    sym=False,
+    block_n=DEFAULT_BLOCK_N,
+    block_m=DEFAULT_BLOCK_M,
+):
+    """Both raw softmin values of one symmetric Sinkhorn iteration.
+
+    Args:
+        x: ``(N, D)``; y: ``(M, D)``; f: ``(N,)`` current potential on x;
+        g: ``(M,)`` current potential on y; loga/logb: log-weights;
+        eps: temperature; sym: if True, the problem is symmetric
+        (``y is x``, ``g is f``) and only the row direction is computed.
+
+    Returns:
+        ``(S_xy, S_yx)`` with ``S_xy[i] = -eps*LSE_j(logb_j + (g_j - C_ij)/eps)``
+        and ``S_yx[j]`` its transpose mate (``None`` when ``sym=True``).
+    """
+    N, D = x.shape
+    M, _ = y.shape
+    bn = min(block_n, max(128, N))
+    bm = min(block_m, max(128, M))
+    Np, Mp = _cdiv(N, bn) * bn, _cdiv(M, bm) * bm
+
+    f32 = jnp.float32
+    eps32 = jnp.asarray(eps, f32)
+    x32, y32 = x.astype(f32), y.astype(f32)
+    f32v, g32v = f.astype(f32), g.astype(f32)
+    la, lb = loga.astype(f32), logb.astype(f32)
+
+    # Fold weights, potentials and (p=2) quadratic terms into the biases,
+    # in base-2 units:
+    phi = (la + f32v / eps32) * LOG2E
+    psi = (lb + g32v / eps32) * LOG2E
+    if p == 2:
+        phi = phi - (0.5 * LOG2E / eps32) * (x32**2).sum(-1)
+        psi = psi - (0.5 * LOG2E / eps32) * (y32**2).sum(-1)
+
+    xT = _pad_axis(x32.T, 1, Np)
+    yT = _pad_axis(y32.T, 1, Mp)
+    xhT, yhT = _split6_pair(xT, yT)
+    phi_col = _pad_axis(phi[:, None], 0, Np, value=NEG_INF)  # (Np, 1)
+    psi_row = _pad_axis(psi[None, :], 1, Mp, value=NEG_INF)  # (1, Mp)
+    sqx = _pad_axis(((x32**2).sum(-1))[:, None], 0, Np)
+    sqy = _pad_axis(((y32**2).sum(-1))[None, :], 1, Mp)
+    eps_arr = eps32.reshape(1, 1)
+
+    K = xhT.shape[0]
+    ni, nj = Np // bn, Mp // bm
+    grid = (ni, nj)
+    with_cols = not sym
+    out_shapes = [
+        jax.ShapeDtypeStruct((Np, 1), f32),
+        # Per-row-block column partials, 3D so the (1, bm) tail satisfies
+        # the TPU tiling constraint for any ni:
+        jax.ShapeDtypeStruct((ni, 1, Mp), f32),
+    ]
+    out_specs = [
+        pl.BlockSpec((bn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bm), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+    ]
+    r, c_part = pl.pallas_call(
+        functools.partial(_pair_step_kernel, p=p, with_cols=with_cols),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((bn, 1), f32)],
+        interpret=_interpret(),
+    )(eps_arr, xhT, yhT, phi_col, psi_row, sqx, sqy)
+
+    dt = f.dtype
+    r = jnp.maximum(r[:N, 0], _SUM_FLOOR)
+    S_xy = (f32v + eps32 * (la - jnp.log(r))).astype(dt)
+    if sym:
+        return S_xy, None
+    c = jnp.maximum(c_part[:, 0, :].sum(0)[:M], _SUM_FLOOR)
+    S_yx = (g32v + eps32 * (lb - jnp.log(c))).astype(dt)
+    return S_xy, S_yx
 
 
 # ==============================================================================

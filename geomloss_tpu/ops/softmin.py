@@ -49,6 +49,9 @@ def _acc_dtype(dt):
 __all__ = [
     "softmin_dense",
     "softmin_points",
+    "sinkhorn_step_points",
+    "softmin_extrapolation",
+    "softmin_extrapolation_sym",
     "gibbs_apply",
     "lse_points",
     "lse_points_custom",
@@ -161,6 +164,130 @@ def _lse_points_raw(x, y, h, eps, p, impl):
 
         return lse_pallas(x, y, h, eps, p)
     raise ValueError(f"Unknown softmin implementation: {impl!r}")
+
+
+# ------------------------------------------------------------------------------
+#  Fused symmetric Sinkhorn step
+# ------------------------------------------------------------------------------
+
+
+def sinkhorn_step_points(eps, x, y, a_log, b_log, f, g, p=2, impl="auto", sym=False):
+    r"""Both raw softmin values of one Jacobi-style Sinkhorn iteration:
+
+    ``S_xy[i] = -eps*LSE_j(b_log_j + (g_j - C_ij)/eps)`` and
+    ``S_yx[j] = -eps*LSE_i(a_log_i + (f_i - C_ij)/eps)``.
+
+    On TPU this fuses into a *single pass* over the pair interactions
+    (:func:`geomloss_tpu.ops.pallas_kernels.sinkhorn_step_pallas`) — half
+    the work of two independent softmin sweeps, with no running-max pass.
+    Elsewhere it falls back to two streaming LSEs (identical math). With
+    ``sym=True`` only the row direction is computed (``S_yx is None``).
+    """
+    impl = _resolve_impl(impl, x.shape[0], y.shape[0])
+    if impl == "pallas":
+        from .pallas_kernels import sinkhorn_step_pallas
+
+        return sinkhorn_step_pallas(x, y, f, g, a_log, b_log, eps, p=p, sym=sym)
+    lse = _lse_dense if impl == "dense" else _lse_scan
+    S_xy = -eps * lse(x, y, b_log + g / eps, eps, p)
+    if sym:
+        return S_xy, None
+    S_yx = -eps * lse(y, x, a_log + f / eps, eps, p)
+    return S_xy, S_yx
+
+
+# ------------------------------------------------------------------------------
+#  Fused differentiable last extrapolation
+# ------------------------------------------------------------------------------
+#
+# The loop's final softmin calls are the only ones autograd sees (envelope
+# theorem). Fusing the two cross directions into one absorbed pass — and
+# expressing each VJP as a *normalized* (absorbed) Gibbs sweep — replaces
+# four two-pass LSE sweeps + four backward sweeps with one fused forward
+# pass and two single-pass backward sweeps per direction pair.
+#
+# Gradient semantics (reference ``_legacy/sinkhorn_samples.py:179-185``,
+# ``392-393``): costs are built with a detached second argument, so
+# ``S_xy`` only differentiates w.r.t. ``x`` and ``S_yx`` only w.r.t.
+# ``y``; the dual vector ``h`` and the absorption shifts are detached.
+
+
+def _extrap_dx(x, y, f, g, loga, logb, eps, S, u, p, impl):
+    """d<u, S_xy>/dx for the absorbed softmin (row direction)."""
+    # Row-normalized absorbed weights: phi folds -log(rowsum):
+    logr = (f - S) / eps + loga
+    phi = f / eps + loga - logr
+    psi = g / eps + logb
+    kind = "gibbs" if p == 2 else "gibbs_grad"
+    ones = jnp.ones((y.shape[0], 1), dtype=y.dtype)
+    V = jnp.concatenate([ones, y], axis=-1)
+    R = gibbs_apply(x, y, phi, psi, V, eps, p, kind=kind, impl=impl)
+    return u[:, None] * (x * R[:, :1] - R[:, 1:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def softmin_extrapolation(x, y, f, g, loga, logb, eps, p, impl):
+    r"""Raw softmin pair of the differentiable last extrapolation.
+
+    Returns ``(S_xy, S_yx)`` (see :func:`sinkhorn_step_points`) with
+    gradients flowing to ``x`` through ``S_xy`` and to ``y`` through
+    ``S_yx`` only — the reference's detached-cost convention. ``f``,
+    ``g``, ``loga``, ``logb`` and ``eps`` are treated as constants.
+    """
+    return sinkhorn_step_points(eps, x, y, loga, logb, f, g, p=p, impl=impl)
+
+
+def _softmin_extrapolation_fwd(x, y, f, g, loga, logb, eps, p, impl):
+    S_xy, S_yx = sinkhorn_step_points(eps, x, y, loga, logb, f, g, p=p, impl=impl)
+    return (S_xy, S_yx), (x, y, f, g, loga, logb, eps, S_xy, S_yx)
+
+
+def _softmin_extrapolation_bwd(p, impl, res, us):
+    x, y, f, g, loga, logb, eps, S_xy, S_yx = res
+    u_f, u_g = us
+    dx = _extrap_dx(x, y, f, g, loga, logb, eps, S_xy, u_f, p, impl)
+    dy = _extrap_dx(y, x, g, f, logb, loga, eps, S_yx, u_g, p, impl)
+    z = jnp.zeros_like
+    return (
+        dx.astype(x.dtype),
+        dy.astype(y.dtype),
+        z(f),
+        z(g),
+        z(loga),
+        z(logb),
+        jnp.zeros_like(jnp.asarray(eps)),
+    )
+
+
+softmin_extrapolation.defvjp(_softmin_extrapolation_fwd, _softmin_extrapolation_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def softmin_extrapolation_sym(x, f, loga, eps, p, impl):
+    """Symmetric-problem (debias) variant of :func:`softmin_extrapolation`:
+    one direction, second cloud detached."""
+    return sinkhorn_step_points(eps, x, x, loga, loga, f, f, p=p, impl=impl, sym=True)[0]
+
+
+def _softmin_extrapolation_sym_fwd(x, f, loga, eps, p, impl):
+    S = sinkhorn_step_points(eps, x, x, loga, loga, f, f, p=p, impl=impl, sym=True)[0]
+    return S, (x, f, loga, eps, S)
+
+
+def _softmin_extrapolation_sym_bwd(p, impl, res, u):
+    x, f, loga, eps, S = res
+    dx = _extrap_dx(x, x, f, f, loga, loga, eps, S, u, p, impl)
+    return (
+        dx.astype(x.dtype),
+        jnp.zeros_like(f),
+        jnp.zeros_like(loga),
+        jnp.zeros_like(jnp.asarray(eps)),
+    )
+
+
+softmin_extrapolation_sym.defvjp(
+    _softmin_extrapolation_sym_fwd, _softmin_extrapolation_sym_bwd
+)
 
 
 # ------------------------------------------------------------------------------

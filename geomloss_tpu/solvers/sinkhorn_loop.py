@@ -172,7 +172,10 @@ def _detach(tree):
     )
 
 
-def _scan_segment(softmin, carry, eps_seg, rho, C_xy, C_yx, C_xx, C_yy, a_log, b_log, debias):
+def _scan_segment(
+    softmin, carry, eps_seg, rho, C_xy, C_yx, C_xx, C_yy, a_log, b_log, debias,
+    fused_step=None,
+):
     """Run a contiguous run of symmetric Sinkhorn iterations as one scan."""
     dtype = a_log.dtype
     eps_arr = jnp.asarray(eps_seg, dtype=dtype)
@@ -183,11 +186,24 @@ def _scan_segment(softmin, carry, eps_seg, rho, C_xy, C_yx, C_xx, C_yy, a_log, b
         f_ba, g_ab, f_aa, g_bb = carry
         # Jacobi-style ("symmetric") updates computed from the previous
         # iterates, then averaged — reference lines 480-493:
-        ft_ba = damp * softmin(eps, C_xy, b_log + g_ab / eps)
-        gt_ab = damp * softmin(eps, C_yx, a_log + f_ba / eps)
-        if debias:
-            ft_aa = damp * softmin(eps, C_xx, a_log + f_aa / eps)
-            gt_bb = damp * softmin(eps, C_yy, b_log + g_bb / eps)
+        if fused_step is not None:
+            # Both directions from one pass over the pair interactions
+            # (see ops/softmin.py::sinkhorn_step_points).
+            S_xy, S_yx = fused_step(eps, C_xy, C_yx, a_log, b_log, f_ba, g_ab)
+            ft_ba, gt_ab = damp * S_xy, damp * S_yx
+            if debias:
+                ft_aa = damp * fused_step(
+                    eps, C_xx, C_xx, a_log, a_log, f_aa, f_aa, sym=True
+                )[0]
+                gt_bb = damp * fused_step(
+                    eps, C_yy, C_yy, b_log, b_log, g_bb, g_bb, sym=True
+                )[0]
+        else:
+            ft_ba = damp * softmin(eps, C_xy, b_log + g_ab / eps)
+            gt_ab = damp * softmin(eps, C_yx, a_log + f_ba / eps)
+            if debias:
+                ft_aa = damp * softmin(eps, C_xx, a_log + f_aa / eps)
+                gt_bb = damp * softmin(eps, C_yy, b_log + g_bb / eps)
         f_ba = 0.5 * (f_ba + ft_ba)
         g_ab = 0.5 * (g_ab + gt_ab)
         if debias:
@@ -217,6 +233,8 @@ def sinkhorn_loop(
     debias: bool = True,
     last_extrapolation: bool = True,
     init_potentials: Optional[Any] = None,
+    fused_step: Optional[Callable] = None,
+    fused_last: Optional[Callable] = None,
 ):
     r"""(Possibly multiscale) symmetric Sinkhorn loop with annealing.
 
@@ -232,8 +250,16 @@ def sinkhorn_loop(
 
     ``init_potentials`` (an extension over the reference) warm-starts the
     loop with a ``(f_ba, g_ab[, f_aa, g_bb])`` tuple from a previous solve
-    instead of the eps0 softmin initialization — combined with a short
-    constant schedule this makes gradient-flow steps much cheaper.
+    instead of the eps0 softmin initialization — performance extension;
+    combined with a short constant schedule this makes gradient-flow steps
+    much cheaper.
+
+    ``fused_step(eps, C_ab, C_ba, a_log, b_log, f, g, sym=False)``, when
+    given, replaces the 2/4 per-iteration softmin calls inside scan
+    segments (and the eps0 initialization) with backend-fused updates
+    returning both raw softmin directions at once — same math, half the
+    sweeps. Jump iterations and the final extrapolation still go through
+    ``softmin``.
     """
     if not isinstance(a_logs, list):
         a_logs, b_logs = [a_logs], [b_logs]
@@ -267,6 +293,17 @@ def sinkhorn_loop(
         f_ba, g_ab = init[0], init[1]
         if debias:
             f_aa, g_bb = init[2], init[3]
+        else:
+            f_aa = jnp.zeros_like(f_ba)
+            g_bb = jnp.zeros_like(g_ab)
+    elif fused_step is not None:
+        # The eps0 initialization is the fused step at zero potentials:
+        zf, zg = jnp.zeros_like(a_log), jnp.zeros_like(b_log)
+        S_xy, S_yx = fused_step(eps, C_xy, C_yx, a_log, b_log, zf, zg)
+        f_ba, g_ab = damping * S_xy, damping * S_yx
+        if debias:
+            f_aa = damping * fused_step(eps, C_xx, C_xx, a_log, a_log, zf, zf, sym=True)[0]
+            g_bb = damping * fused_step(eps, C_yy, C_yy, b_log, b_log, zg, zg, sym=True)[0]
         else:
             f_aa = jnp.zeros_like(f_ba)
             g_bb = jnp.zeros_like(g_ab)
@@ -304,6 +341,7 @@ def sinkhorn_loop(
                 a_log,
                 b_log,
                 debias,
+                fused_step=fused_step,
             )
         seg_start = seg_end
         if jump is None:
@@ -388,15 +426,31 @@ def sinkhorn_loop(
     # --- Differentiable last extrapolation (reference lines 608-623) ----------
     if last_extrapolation:
         sg = lax.stop_gradient
-        # Use the non-detached data at the current scale:
-        C_xy_g, C_yx_g = C_xys[k], C_yxs[k]
-        f_ba, g_ab = (
-            damping * softmin(eps, C_xy_g, sg(b_logs[k] + g_ab / eps)),
-            damping * softmin(eps, C_yx_g, sg(a_logs[k] + f_ba / eps)),
-        )
-        if debias:
-            f_aa = damping * softmin(eps, C_xxs[k], sg(a_logs[k] + f_aa / eps))
-            g_bb = damping * softmin(eps, C_yys[k], sg(b_logs[k] + g_bb / eps))
+        if fused_last is not None:
+            f_ba, g_ab, f_aa, g_bb = fused_last(
+                eps,
+                damping,
+                C_xys[k],
+                C_yxs[k],
+                C_xxs[k] if debias else None,
+                C_yys[k] if debias else None,
+                a_logs[k],
+                b_logs[k],
+                f_ba,
+                g_ab,
+                f_aa,
+                g_bb,
+            )
+        else:
+            # Use the non-detached data at the current scale:
+            C_xy_g, C_yx_g = C_xys[k], C_yxs[k]
+            f_ba, g_ab = (
+                damping * softmin(eps, C_xy_g, sg(b_logs[k] + g_ab / eps)),
+                damping * softmin(eps, C_yx_g, sg(a_logs[k] + f_ba / eps)),
+            )
+            if debias:
+                f_aa = damping * softmin(eps, C_xxs[k], sg(a_logs[k] + f_aa / eps))
+                g_bb = damping * softmin(eps, C_yys[k], sg(b_logs[k] + g_bb / eps))
 
     if debias:
         return f_aa, g_bb, g_ab, f_ba
