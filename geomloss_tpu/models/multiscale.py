@@ -35,8 +35,20 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.block_sparse import masks_from_coarse, softmin_sparse
-from ..ops.softmin import softmin_points
+from ..ops.block_sparse import (
+    masks_from_coarse,
+    retighten_counts,
+    sinkhorn_step_sparse,
+    softmin_extrapolation_sparse,
+    softmin_extrapolation_sparse_sym,
+    softmin_sparse,
+)
+from ..ops.softmin import (
+    sinkhorn_step_points,
+    softmin_extrapolation,
+    softmin_extrapolation_sym,
+    softmin_points,
+)
 from ..ops.spatial import hilbert_key, radix_sort_perm
 from ..solvers.annealing import dampening, scaling_parameters
 from ..solvers.sinkhorn_loop import log_weights, sinkhorn_cost
@@ -183,22 +195,39 @@ def spatial_sort_blocks(
     return (w, a_s), (cent, x_s), perm
 
 
-def _scan_iterations(softmin_fns, carry, eps_seg, rho, h_builders, debias, dtype):
+def _scan_iterations(
+    softmin_fns, carry, eps_seg, rho, h_builders, debias, dtype, fused=None,
+    fused_xs=None,
+):
     """Generic symmetric-update scan: softmin_fns/h_builders describe the
-    four problems (xy, yx, xx, yy)."""
+    four problems (xy, yx, xx, yy). When ``fused = (pair, sym_x, sym_y)``
+    is given, each iteration runs on fused single-pass absorbed steps
+    (both cross directions from one mask traversal pair) instead of four
+    two-pass softmin sweeps."""
     sm_xy, sm_yx, sm_xx, sm_yy = softmin_fns
     eps_arr = jnp.asarray(eps_seg, dtype=dtype)
     damp_arr = jnp.asarray([dampening(e, rho) for e in eps_seg], dtype=dtype)
     a_log, b_log = h_builders
 
-    def body(carry, eps_damp):
-        eps, damp = eps_damp
+    def body(carry, inp):
+        if fused is not None and fused_xs is not None:
+            eps, damp, extra = inp
+        else:
+            (eps, damp), extra = inp, None
         f_ba, g_ab, f_aa, g_bb = carry
-        ft_ba = damp * sm_xy(eps, b_log + g_ab / eps)
-        gt_ab = damp * sm_yx(eps, a_log + f_ba / eps)
-        if debias:
-            ft_aa = damp * sm_xx(eps, a_log + f_aa / eps)
-            gt_bb = damp * sm_yy(eps, b_log + g_bb / eps)
+        if fused is not None:
+            pair, sym_x, sym_y = fused
+            S_xy, S_yx = pair(eps, f_ba, g_ab, extra)
+            ft_ba, gt_ab = damp * S_xy, damp * S_yx
+            if debias:
+                ft_aa = damp * sym_x(eps, f_aa, extra)
+                gt_bb = damp * sym_y(eps, g_bb, extra)
+        else:
+            ft_ba = damp * sm_xy(eps, b_log + g_ab / eps)
+            gt_ab = damp * sm_yx(eps, a_log + f_ba / eps)
+            if debias:
+                ft_aa = damp * sm_xx(eps, a_log + f_aa / eps)
+                gt_bb = damp * sm_yy(eps, b_log + g_bb / eps)
         f_ba = 0.5 * (f_ba + ft_ba)
         g_ab = 0.5 * (g_ab + gt_ab)
         if debias:
@@ -206,7 +235,10 @@ def _scan_iterations(softmin_fns, carry, eps_seg, rho, h_builders, debias, dtype
             g_bb = 0.5 * (g_bb + gt_bb)
         return (f_ba, g_ab, f_aa, g_bb), None
 
-    carry, _ = lax.scan(body, carry, (eps_arr, damp_arr))
+    xs = (eps_arr, damp_arr)
+    if fused is not None and fused_xs is not None:
+        xs = (eps_arr, damp_arr, fused_xs)
+    carry, _ = lax.scan(body, carry, xs)
     return carry
 
 
@@ -370,57 +402,176 @@ def sinkhorn_multiscale(
                     cap=cap,
                 )
 
-            def fine_softmin(e, pts, h, mask):
-                return softmin_sparse(e, (*pts, mask), h, p=p, block=tile)
+            # The keep-score order is temperature-independent (the score
+            # moves by a uniform truncate*(eps'-eps_jump)), so the same
+            # cols tables serve every fine iteration with re-thresholded
+            # counts — later (colder) iterations visit strictly fewer
+            # tiles. The reference truncates once at the jump; this is
+            # the same rule applied at each step's own temperature. To
+            # also shrink the *grid* (skipped steps still cost a pipeline
+            # step), the tables are sliced to a static per-eps cap
+            # ~ cap * sqrt(eps/eps_jump) — conservative, since the keep
+            # radius scales as sqrt(truncate*eps) and kept tiles grow at
+            # least linearly in it; overflows degrade to best-score top-k
+            # exactly like the global cap.
+            eps_fine = list(eps_list[jump + 1:])
+            cap0 = mask_xy.cols.shape[1]
 
-            fine_fns_d = (
-                lambda e, h: fine_softmin(e, (x_sd, y_sd), h, mask_xy),
-                lambda e, h: fine_softmin(e, (y_sd, x_sd), h, mask_xy.transpose()),
-                lambda e, h: fine_softmin(e, (x_sd, x_sd), h, mask_xx) if debias else None,
-                lambda e, h: fine_softmin(e, (y_sd, y_sd), h, mask_yy) if debias else None,
-            )
-            fine_fns_g = (
-                lambda e, h: fine_softmin(e, (x_s, y_sd), h, mask_xy),
-                lambda e, h: fine_softmin(e, (y_s, x_sd), h, mask_xy.transpose()),
-                lambda e, h: fine_softmin(e, (x_s, x_sd), h, mask_xx) if debias else None,
-                lambda e, h: fine_softmin(e, (y_s, y_sd), h, mask_yy) if debias else None,
-            )
+            def cap_for(e):
+                # Keep radius ~ sqrt(truncate*eps) + tile slack: kept-tile
+                # counts shrink at least linearly in eps on <=2-dim data
+                # (the reference's multiscale domain, p=2 shape processing);
+                # the floor of 32 absorbs the tile-radius slack that
+                # dominates at small N. Overflow degrades to best-score
+                # top-k, like the build cap.
+                raw = int(np.ceil(cap0 * (e / eps_j)))
+                return min(cap0, max(24, -(-raw // 8) * 8))  # multiple of 8
+
+            def sliced(mask, ck, d):
+                cnt = jnp.minimum(retighten_counts(mask.vals, d), ck)
+                cntT = jnp.minimum(retighten_counts(mask.valsT, d), ck)
+                return mask._replace(
+                    cols=mask.cols[:, :ck], counts=cnt,
+                    colsT=mask.colsT[:, :ck], countsT=cntT,
+                )
+
+            # Group consecutive fine iterations sharing a static cap; each
+            # group runs as one scan over its (eps, damp, counts) stack.
+            groups = []
+            for e in eps_fine:
+                ck = cap_for(e)
+                if groups and groups[-1][0] == ck:
+                    groups[-1][1].append(e)
+                else:
+                    groups.append((ck, [e]))
+
+            def run_fine_groups(carry):
+                for ck, es in groups:
+                    ds = [truncate * (e - eps_j) for e in es]
+                    m_xy = [sliced(mask_xy, ck, d) for d in ds]
+                    xs = {
+                        "xy": (
+                            jnp.stack([m.counts for m in m_xy]),
+                            jnp.stack([m.countsT for m in m_xy]),
+                        )
+                    }
+                    if debias:
+                        xs["xx"] = jnp.stack(
+                            [sliced(mask_xx, ck, d).counts for d in ds]
+                        )
+                        xs["yy"] = jnp.stack(
+                            [sliced(mask_yy, ck, d).counts for d in ds]
+                        )
+                    base_xy = m_xy[0]
+                    base_xx = sliced(mask_xx, ck, 0) if debias else None
+                    base_yy = sliced(mask_yy, ck, 0) if debias else None
+                    fns = (
+                        lambda e, f, g, t, m=base_xy: sinkhorn_step_sparse(
+                            e, x_sd, y_sd, a_log_f, b_log_f, f, g,
+                            m.with_counts(*t["xy"]), p=p, block=tile,
+                        ),
+                        (
+                            lambda e, f, t, m=base_xx: sinkhorn_step_sparse(
+                                e, x_sd, x_sd, a_log_f, a_log_f, f, f,
+                                m._replace(counts=t["xx"]),
+                                p=p, block=tile, sym=True,
+                            )[0]
+                        ) if debias else None,
+                        (
+                            lambda e, g, t, m=base_yy: sinkhorn_step_sparse(
+                                e, y_sd, y_sd, b_log_f, b_log_f, g, g,
+                                m._replace(counts=t["yy"]),
+                                p=p, block=tile, sym=True,
+                            )[0]
+                        ) if debias else None,
+                    )
+                    carry = _scan_iterations(
+                        (None, None, None, None), carry, es, rho,
+                        (a_log_f, b_log_f), debias, dtype,
+                        fused=fns, fused_xs=xs,
+                    )
+                return carry
+
+            ck_l = groups[-1][0]
+            d_last = truncate * (eps_fine[-1] - eps_j)
+            mask_xy_l = sliced(mask_xy, ck_l, d_last)
+            if debias:
+                mask_xx_l = sliced(mask_xx, ck_l, d_last)
+                mask_yy_l = sliced(mask_yy, ck_l, d_last)
+
+            def fused_extrap(eps_last, f_ba_f, g_ab_f, f_aa_f, g_bb_f):
+                S_xy, S_yx = softmin_extrapolation_sparse(
+                    x_s, y_s, sg(f_ba_f), sg(g_ab_f),
+                    sg(a_log_f), sg(b_log_f), eps_last,
+                    mask_xy_l.cols, mask_xy_l.counts,
+                    mask_xy_l.colsT, mask_xy_l.countsT, p, tile,
+                )
+                if debias:
+                    S_xx = softmin_extrapolation_sparse_sym(
+                        x_s, sg(f_aa_f), sg(a_log_f), eps_last,
+                        mask_xx_l.cols, mask_xx_l.counts, p, tile,
+                    )
+                    S_yy = softmin_extrapolation_sparse_sym(
+                        y_s, sg(g_bb_f), sg(b_log_f), eps_last,
+                        mask_yy_l.cols, mask_yy_l.counts, p, tile,
+                    )
+                else:
+                    S_xx = S_yy = None
+                return S_xy, S_yx, S_xx, S_yy
+
         else:
-            fine_fns_d = (
-                lambda e, h: sm(e, (x_sd, y_sd), h),
-                lambda e, h: sm(e, (y_sd, x_sd), h),
-                lambda e, h: sm(e, (x_sd, x_sd), h),
-                lambda e, h: sm(e, (y_sd, y_sd), h),
+            fused_fine = (
+                lambda e, f, g, xs: sinkhorn_step_points(
+                    e, x_sd, y_sd, a_log_f, b_log_f, f, g, p=p, impl=impl
+                ),
+                lambda e, f, xs: sinkhorn_step_points(
+                    e, x_sd, x_sd, a_log_f, a_log_f, f, f, p=p, impl=impl,
+                    sym=True,
+                )[0],
+                lambda e, g, xs: sinkhorn_step_points(
+                    e, y_sd, y_sd, b_log_f, b_log_f, g, g, p=p, impl=impl,
+                    sym=True,
+                )[0],
             )
-            fine_fns_g = (
-                lambda e, h: sm(e, (x_s, y_sd), h),
-                lambda e, h: sm(e, (y_s, x_sd), h),
-                lambda e, h: sm(e, (x_s, x_sd), h),
-                lambda e, h: sm(e, (y_s, y_sd), h),
-            )
+
+            def run_fine_groups(carry):
+                return _scan_iterations(
+                    (None, None, None, None), carry,
+                    eps_list[jump + 1:], rho,
+                    (a_log_f, b_log_f), debias, dtype,
+                    fused=fused_fine,
+                )
+
+            def fused_extrap(eps_last, f_ba_f, g_ab_f, f_aa_f, g_bb_f):
+                S_xy, S_yx = softmin_extrapolation(
+                    x_s, y_s, sg(f_ba_f), sg(g_ab_f),
+                    sg(a_log_f), sg(b_log_f), eps_last, p, impl,
+                )
+                if debias:
+                    S_xx = softmin_extrapolation_sym(
+                        x_s, sg(f_aa_f), sg(a_log_f), eps_last, p, impl
+                    )
+                    S_yy = softmin_extrapolation_sym(
+                        y_s, sg(g_bb_f), sg(b_log_f), eps_last, p, impl
+                    )
+                else:
+                    S_xx = S_yy = None
+                return S_xy, S_yx, S_xx, S_yy
 
         # --- Fine iterations (detached) -----------------------------------------
-        carry = _scan_iterations(
-            fine_fns_d,
-            (f_ba_f, g_ab_f, f_aa_f, g_bb_f),
-            eps_list[jump + 1:],
-            rho,
-            (a_log_f, b_log_f),
-            debias,
-            dtype,
+        f_ba_f, g_ab_f, f_aa_f, g_bb_f = run_fine_groups(
+            (f_ba_f, g_ab_f, f_aa_f, g_bb_f)
         )
-        f_ba_f, g_ab_f, f_aa_f, g_bb_f = carry
 
         # --- Differentiable last extrapolation ----------------------------------
         eps_last = eps_list[-1]
         damp = dampening(eps_last, rho)
-        sm_xy, sm_yx, sm_xx, sm_yy = fine_fns_g
-        f_new = damp * sm_xy(eps_last, sg(b_log_f + g_ab_f / eps_last))
-        g_new = damp * sm_yx(eps_last, sg(a_log_f + f_ba_f / eps_last))
+        S_xy, S_yx, S_xx, S_yy = fused_extrap(
+            eps_last, f_ba_f, g_ab_f, f_aa_f, g_bb_f
+        )
+        f_ba_f, g_ab_f = damp * S_xy, damp * S_yx
         if debias:
-            f_aa_f = damp * sm_xx(eps_last, sg(a_log_f + f_aa_f / eps_last))
-            g_bb_f = damp * sm_yy(eps_last, sg(b_log_f + g_bb_f / eps_last))
-        f_ba_f, g_ab_f = f_new, g_new
+            f_aa_f, g_bb_f = damp * S_xx, damp * S_yy
 
     out = sinkhorn_cost(
         eps,

@@ -147,13 +147,18 @@ def sinkhorn_online(
         def fused_step(eps, C_xy, C_yx, a_log, b_log, f, g, sym=False):
             x_, y_ = C_xy[0], C_yx[0]
             if x_.ndim == 3:  # static batch axis: unroll (B is small)
-                outs = [
-                    sinkhorn_step_points(
-                        eps, x_[i], y_[i], a_log[i], b_log[i], f[i], g[i],
-                        p=p, impl=impl, sym=sym,
+                outs = []
+                for i in range(x_.shape[0]):
+                    xi, lai, fi = x_[i], a_log[i], f[i]
+                    # Preserve object identity for the symmetric problems
+                    # (routes to the upper-triangle kernel):
+                    yi, lbi, gi = (xi, lai, fi) if sym else (y_[i], b_log[i], g[i])
+                    outs.append(
+                        sinkhorn_step_points(
+                            eps, xi, yi, lai, lbi, fi, gi,
+                            p=p, impl=impl, sym=sym,
+                        )
                     )
-                    for i in range(x_.shape[0])
-                ]
                 S_xy = jnp.stack([o[0] for o in outs])
                 S_yx = None if sym else jnp.stack([o[1] for o in outs])
                 return S_xy, S_yx

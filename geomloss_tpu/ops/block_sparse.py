@@ -43,6 +43,10 @@ __all__ = [
     "lse_sparse",
     "gibbs_apply_sparse",
     "softmin_sparse",
+    "sinkhorn_step_sparse",
+    "softmin_extrapolation_sparse",
+    "softmin_extrapolation_sparse_sym",
+    "retighten_counts",
     "kernel_matvec_sparse",
     "masks_from_geometry",
 ]
@@ -53,19 +57,28 @@ class TileMask(NamedTuple):
 
     ``cols/counts`` drive row-major traversal (reduce over y for each x
     tile); ``colsT/countsT`` drive the transposed traversal, needed by the
-    backward pass and by the yx-direction softmin.
+    backward pass and by the yx-direction softmin. ``vals/valsT`` (when
+    kept) are the sorted keep scores behind ``cols`` — they let
+    :func:`retighten_counts` re-threshold the same tables at later
+    annealing temperatures.
     """
 
     cols: jnp.ndarray  # (N/bn, cap) int32
     counts: jnp.ndarray  # (N/bn,) int32
     colsT: jnp.ndarray  # (M/bm, capT) int32
     countsT: jnp.ndarray  # (M/bm,) int32
+    vals: jnp.ndarray = None  # (N/bn, cap) keep scores (sorted desc)
+    valsT: jnp.ndarray = None  # (M/bm, capT)
 
     def transpose(self):
         return TileMask(
             cols=self.colsT, counts=self.countsT,
             colsT=self.cols, countsT=self.counts,
+            vals=self.valsT, valsT=self.vals,
         )
+
+    def with_counts(self, counts, countsT):
+        return self._replace(counts=counts, countsT=countsT)
 
 
 def _interpret():
@@ -82,6 +95,14 @@ def _pad_axis(arr, axis, target, value=0.0):
     if pad[axis][1] == 0:
         return arr
     return jnp.pad(arr, pad, constant_values=value)
+
+
+def _col(cols, counts, i, j):
+    """Column-tile index of grid step ``(i, j)``: steps past ``counts[i]``
+    repeat the last kept tile, so the block index never changes there and
+    the pipeline issues no DMA for masked steps — making a generous
+    static ``cap`` nearly free."""
+    return cols[i, jnp.minimum(j, counts[i] - 1)]
 
 
 def tile_stats(x, block):
@@ -105,8 +126,25 @@ def _cols_from_score(score, cap):
     cap = min(cap, score.shape[1])
     vals, idx = lax.top_k(score, cap)
     counts = jnp.maximum((vals > 0).sum(axis=1), 1).astype(jnp.int32)
-    cols = jnp.where(vals > 0, idx, idx[:, :1]).astype(jnp.int32)
-    return cols, counts
+    # Masked-out steps must repeat the *last kept* tile: the block index
+    # then never changes past ``counts[i]``, so the pipeline issues no new
+    # DMA and the skipped grid steps are nearly free. (Pointing them at
+    # the first tile would re-fetch it on every masked step.)
+    last = jnp.take_along_axis(idx, (counts - 1)[:, None], axis=1)
+    cols = jnp.where(vals > 0, idx, last).astype(jnp.int32)
+    return cols, counts, vals
+
+
+def retighten_counts(vals, delta):
+    """Per-row kept-tile counts after shifting every keep score by ``delta``.
+
+    The truncation score ``max f + max g - C + truncate * eps`` moves by a
+    *uniform* ``truncate * (eps' - eps)`` when the temperature changes, so
+    the top-k order of ``cols`` is unchanged and only the threshold moves:
+    the same tables serve every annealing step with tighter counts
+    (``delta <= 0`` since eps decreases).
+    """
+    return jnp.maximum((vals + delta > 0).sum(axis=1), 1).astype(jnp.int32)
 
 
 def build_tile_masks(x, y, f, g, eps, p, truncate, block, cap=None, w_x=None, w_y=None):
@@ -146,9 +184,12 @@ def build_tile_masks(x, y, f, g, eps, p, truncate, block, cap=None, w_x=None, w_
     score = f_max[:, None] + g_max[None, :] - C_lb + truncate * eps  # (nI, nJ)
     score = jnp.where(x_mass[:, None] & y_mass[None, :], score, NEG_INF)
 
-    cols, counts = _cols_from_score(score, cap)
-    colsT, countsT = _cols_from_score(score.T, cap)
-    return TileMask(cols=cols, counts=counts, colsT=colsT, countsT=countsT)
+    cols, counts, vals = _cols_from_score(score, cap)
+    colsT, countsT, valsT = _cols_from_score(score.T, cap)
+    return TileMask(
+        cols=cols, counts=counts, colsT=colsT, countsT=countsT,
+        vals=vals, valsT=valsT,
+    )
 
 
 def masks_from_coarse(
@@ -186,13 +227,18 @@ def masks_from_coarse(
         axis=(1, 3)
     )
     if cap is None:
-        cap = max(8, nJ // 16)
+        # Generous: masked grid steps are nearly free (frozen block index,
+        # see ``_col``), so clipping real neighbors is the only real risk.
+        cap = max(32, nJ // 8)
     # The cols array is a scalar-prefetch operand living in SMEM (1 MB):
     # clamp so each direction stays under ~400 KB.
     cap = min(cap, max(8, 400_000 // (4 * max(nI, nJ))))
-    cols, counts = _cols_from_score(score_t, cap)
-    colsT, countsT = _cols_from_score(score_t.T, cap)
-    return TileMask(cols=cols, counts=counts, colsT=colsT, countsT=countsT)
+    cols, counts, vals = _cols_from_score(score_t, cap)
+    colsT, countsT, valsT = _cols_from_score(score_t.T, cap)
+    return TileMask(
+        cols=cols, counts=counts, colsT=colsT, countsT=countsT,
+        vals=vals, valsT=valsT,
+    )
 
 
 # ==============================================================================
@@ -223,7 +269,9 @@ def _lse_sparse_kernel(
             arg = h2 + scores * c2
         else:
             sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
-            d = jnp.sqrt(jnp.maximum(sq, 1e-8))
+            # f32 noise floor of the expansion form (pallas_kernels.py):
+            d = jnp.where(sq > 2e-6 * (sqx_ref[:] + sqy_ref[:]),
+                      jnp.sqrt(jnp.maximum(sq, 1e-8)), 0.0)
             arg = h2 - d * c2
         m_prev = m_ref[:]
         blk_max = jnp.max(arg, axis=1, keepdims=True)
@@ -268,14 +316,14 @@ def lse_sparse(x, y, h, eps, cols, counts, p=2, block_n=256, block_m=512):
         in_specs=[
             pl.BlockSpec((K, block_n), lambda i, j, cols, counts, eps: (0, i)),
             pl.BlockSpec(
-                (K, block_m), lambda i, j, cols, counts, eps: (0, cols[i, j])
+                (K, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i, j))
             ),
             pl.BlockSpec(
-                (1, block_m), lambda i, j, cols, counts, eps: (0, cols[i, j])
+                (1, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i, j))
             ),
             pl.BlockSpec((block_n, 1), lambda i, j, cols, counts, eps: (i, 0)),
             pl.BlockSpec(
-                (1, block_m), lambda i, j, cols, counts, eps: (0, cols[i, j])
+                (1, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i, j))
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -334,7 +382,8 @@ def _apply_sparse_kernel(
                 # (see ops/softmin.py::GRAD_SQDIST_CUT).
                 w = jnp.where(sq > 1e-6, 1.0 / d, 0.0)
             else:
-                w = jnp.exp2(phi_ref[:] + (psi_ref[:] - d * c2))
+                dw = jnp.where(sq > 2e-6 * (sqx_ref[:] + sqy_ref[:]), d, 0.0)
+                w = jnp.exp2(phi_ref[:] + (psi_ref[:] - dw * c2))
                 if kind == "gibbs_grad":
                     w = jnp.where(sq > 1e-6, w / d, 0.0)
         # Both contraction operands are split into bf16-exact summands (the
@@ -408,12 +457,12 @@ def gibbs_apply_sparse(
         grid=(nI, cap),
         in_specs=[
             pl.BlockSpec((K, block_n), lambda i, j, c, n, e: (0, i)),
-            pl.BlockSpec((K, block_m), lambda i, j, c, n, e: (0, c[i, j])),
+            pl.BlockSpec((K, block_m), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
             pl.BlockSpec((block_n, 1), lambda i, j, c, n, e: (i, 0)),
-            pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, c[i, j])),
+            pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
             pl.BlockSpec((block_n, 1), lambda i, j, c, n, e: (i, 0)),
-            pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, c[i, j])),
-            pl.BlockSpec((2 * C, block_m), lambda i, j, c, n, e: (0, c[i, j])),
+            pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
+            pl.BlockSpec((2 * C, block_m), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
         ],
         out_specs=pl.BlockSpec((block_n, C), lambda i, j, c, n, e: (i, 0)),
         scratch_shapes=[pltpu.VMEM((block_n, C), f32)],
@@ -427,6 +476,223 @@ def gibbs_apply_sparse(
     )(cols, counts, eps_arr, xhT, yhT, phi_col, psi_row, sqx, sqy, VT)
 
     return out
+
+
+# ==============================================================================
+#  Single-pass absorbed sparse softmin (fused Sinkhorn step, fine phase)
+# ==============================================================================
+#
+# Same trick as the dense fused step (``pallas_kernels.py``): during the
+# annealing descent the absorbed Gibbs matrix
+# ``W = exp((f + g - C)/eps + loga + logb)`` is bounded (``W <= (NM)^2``
+# after any averaged update followed by an eps drop), so each softmin
+# direction is one single-pass sum — `gibbs_apply_sparse` with a ones
+# channel — instead of a two-pass (max, then exp-sum) LSE sweep.
+
+_SUM_FLOOR = 1e-37
+
+
+def _row_sum_sparse_kernel(
+    cols_ref, counts_ref, eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref,
+    sqx_ref, sqy_ref, o_ref, acc_ref, *, p,
+):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    i = pl.program_id(0)
+
+    @pl.when(j < counts_ref[i])
+    def _compute():
+        c2 = LOG2E / eps_ref[0]
+        scores = _scores_dot(xhT_ref[:], yhT_ref[:])
+        if p == 2:
+            W = jnp.exp2(phi_ref[:] + (psi_ref[:] + scores * c2))
+        else:
+            sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
+            # f32 noise floor of the expansion form (pallas_kernels.py):
+            d = jnp.where(sq > 2e-6 * (sqx_ref[:] + sqy_ref[:]),
+                      jnp.sqrt(jnp.maximum(sq, 1e-8)), 0.0)
+            W = jnp.exp2(phi_ref[:] + (psi_ref[:] - d * c2))
+        acc_ref[:] += jnp.sum(W, axis=1, keepdims=True)
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("p", "block"))
+def _absorbed_sum(x, y, phi, psi, eps, cols, counts, p, block):
+    """Single-pass ``r_i = sum_j exp(phi_i + psi_j - C_ij/eps)`` over the
+    kept tiles (biases in natural-log units; quadratic folding as in
+    :func:`gibbs_apply_sparse`)."""
+    N, D = x.shape
+    M, _ = y.shape
+    assert N % block == 0 and M % block == 0
+    nI, cap = cols.shape
+
+    f32 = jnp.float32
+    x32, y32 = x.astype(f32), y.astype(f32)
+    eps32 = jnp.asarray(eps, f32)
+    if p == 2:
+        phi_eff = (phi.astype(f32) - 0.5 * (x32**2).sum(-1) / eps32) * LOG2E
+        psi_eff = (psi.astype(f32) - 0.5 * (y32**2).sum(-1) / eps32) * LOG2E
+    else:
+        phi_eff = phi.astype(f32) * LOG2E
+        psi_eff = psi.astype(f32) * LOG2E
+
+    xhT, yhT = _split6_pair(x32.T, y32.T)
+    sqx = ((x32**2).sum(-1))[:, None]
+    sqy = ((y32**2).sum(-1))[None, :]
+    eps_arr = eps32.reshape(1)
+
+    K = xhT.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nI, cap),
+        in_specs=[
+            pl.BlockSpec((K, block), lambda i, j, c, n, e: (0, i)),
+            pl.BlockSpec((K, block), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
+            pl.BlockSpec((block, 1), lambda i, j, c, n, e: (i, 0)),
+            pl.BlockSpec((1, block), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
+            pl.BlockSpec((block, 1), lambda i, j, c, n, e: (i, 0)),
+            pl.BlockSpec((1, block), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
+        ],
+        out_specs=pl.BlockSpec((block, 1), lambda i, j, c, n, e: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((block, 1), f32)],
+    )
+    r = pl.pallas_call(
+        functools.partial(_row_sum_sparse_kernel, p=p),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, 1), f32),
+        interpret=_interpret(),
+    )(cols, counts, eps_arr, xhT, yhT, phi_eff[:, None], psi_eff[None, :], sqx, sqy)
+
+    return jnp.maximum(r[:, 0], _SUM_FLOOR)
+
+
+def sinkhorn_step_sparse(eps, x, y, a_log, b_log, f, g, mask, p=2, block=512, sym=False):
+    """Both raw softmin values of one truncated Sinkhorn iteration
+    (fine-phase analogue of ``ops/softmin.py::sinkhorn_step_points``)."""
+    eps32 = jnp.asarray(eps, jnp.float32)
+    phi = a_log + f / eps32
+    psi = b_log + g / eps32
+    r = _absorbed_sum(x, y, phi, psi, eps32, mask.cols, mask.counts, p, block)
+    S_xy = (f + eps32 * (a_log - jnp.log(r))).astype(f.dtype)
+    if sym:
+        return S_xy, None
+    c = _absorbed_sum(y, x, psi, phi, eps32, mask.colsT, mask.countsT, p, block)
+    S_yx = (g + eps32 * (b_log - jnp.log(c))).astype(g.dtype)
+    return S_xy, S_yx
+
+
+# ------------------------------------------------------------------------------
+#  Fused differentiable sparse extrapolation
+# ------------------------------------------------------------------------------
+
+
+def _extrap_dx_sparse(x, y, f, g, loga, logb, eps, S, u, cols, counts, p, block):
+    """d<u, S_xy>/dx for the absorbed truncated softmin (row direction)."""
+    logr = (f - S) / eps + loga
+    phi = f / eps + loga - logr  # row-normalized absorbed weights
+    psi = g / eps + logb
+    kind = "gibbs" if p == 2 else "gibbs_grad"
+    ones = jnp.ones((y.shape[0], 1), dtype=jnp.float32)
+    V = jnp.concatenate([ones, y.astype(jnp.float32)], axis=-1)
+    R = gibbs_apply_sparse(
+        x, y, phi, psi, V, eps, cols, counts,
+        p=p, kind=kind, block_n=block, block_m=block,
+    )
+    return u[:, None] * (x * R[:, :1] - R[:, 1:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def softmin_extrapolation_sparse(
+    x, y, f, g, loga, logb, eps, cols, counts, colsT, countsT, p, block
+):
+    r"""Raw softmin pair of the truncated differentiable last extrapolation.
+
+    Gradients flow to ``x`` through ``S_xy`` and to ``y`` through ``S_yx``
+    only (detached-cost convention, reference
+    ``_legacy/sinkhorn_samples.py:179-185``); everything else is constant.
+    """
+    mask = TileMask(cols, counts, colsT, countsT)
+    return sinkhorn_step_sparse(
+        eps, x, y, loga, logb, f, g, mask, p=p, block=block
+    )
+
+
+def _softmin_extrap_sparse_fwd(
+    x, y, f, g, loga, logb, eps, cols, counts, colsT, countsT, p, block
+):
+    mask = TileMask(cols, counts, colsT, countsT)
+    S_xy, S_yx = sinkhorn_step_sparse(
+        eps, x, y, loga, logb, f, g, mask, p=p, block=block
+    )
+    return (S_xy, S_yx), (
+        x, y, f, g, loga, logb, eps, cols, counts, colsT, countsT, S_xy, S_yx
+    )
+
+
+def _softmin_extrap_sparse_bwd(p, block, res, us):
+    x, y, f, g, loga, logb, eps, cols, counts, colsT, countsT, S_xy, S_yx = res
+    u_f, u_g = us
+    dx = _extrap_dx_sparse(
+        x, y, f, g, loga, logb, eps, S_xy, u_f, cols, counts, p, block
+    )
+    dy = _extrap_dx_sparse(
+        y, x, g, f, logb, loga, eps, S_yx, u_g, colsT, countsT, p, block
+    )
+    z = jnp.zeros_like
+    return (
+        dx.astype(x.dtype),
+        dy.astype(y.dtype),
+        z(f), z(g), z(loga), z(logb),
+        jnp.zeros_like(jnp.asarray(eps)),
+        None, None, None, None,
+    )
+
+
+softmin_extrapolation_sparse.defvjp(
+    _softmin_extrap_sparse_fwd, _softmin_extrap_sparse_bwd
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def softmin_extrapolation_sparse_sym(x, f, loga, eps, cols, counts, p, block):
+    """Symmetric-problem (debias) truncated extrapolation: one direction,
+    second cloud detached."""
+    eps32 = jnp.asarray(eps, jnp.float32)
+    phi = loga + f / eps32
+    r = _absorbed_sum(x, x, phi, phi, eps32, cols, counts, p, block)
+    return (f + eps32 * (loga - jnp.log(r))).astype(f.dtype)
+
+
+def _softmin_extrap_sparse_sym_fwd(x, f, loga, eps, cols, counts, p, block):
+    S = softmin_extrapolation_sparse_sym(x, f, loga, eps, cols, counts, p, block)
+    return S, (x, f, loga, eps, cols, counts, S)
+
+
+def _softmin_extrap_sparse_sym_bwd(p, block, res, u):
+    x, f, loga, eps, cols, counts, S = res
+    dx = _extrap_dx_sparse(
+        x, x, f, f, loga, loga, eps, S, u, cols, counts, p, block
+    )
+    return (
+        dx.astype(x.dtype),
+        jnp.zeros_like(f),
+        jnp.zeros_like(loga),
+        jnp.zeros_like(jnp.asarray(eps)),
+        None, None,
+    )
+
+
+softmin_extrapolation_sparse_sym.defvjp(
+    _softmin_extrap_sparse_sym_fwd, _softmin_extrap_sparse_sym_bwd
+)
 
 
 # ==============================================================================
@@ -546,9 +812,12 @@ def masks_from_geometry(x, y, radius, block, cap=None, w_x=None, w_y=None):
     valid = tile_mass(w_x, nI)[:, None] & tile_mass(w_y, nJ)[None, :]
     score = jnp.where(valid, score, NEG_INF)
 
-    cols, counts = _cols_from_score(score, cap)
-    colsT, countsT = _cols_from_score(score.T, cap)
-    return TileMask(cols=cols, counts=counts, colsT=colsT, countsT=countsT)
+    cols, counts, vals = _cols_from_score(score, cap)
+    colsT, countsT, valsT = _cols_from_score(score.T, cap)
+    return TileMask(
+        cols=cols, counts=counts, colsT=colsT, countsT=countsT,
+        vals=vals, valsT=valsT,
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))

@@ -185,8 +185,15 @@ def sinkhorn_step_points(eps, x, y, a_log, b_log, f, g, p=2, impl="auto", sym=Fa
     """
     impl = _resolve_impl(impl, x.shape[0], y.shape[0])
     if impl == "pallas":
-        from .pallas_kernels import sinkhorn_step_pallas
+        from .pallas_kernels import (
+            sinkhorn_step_pallas,
+            sinkhorn_step_sym_pallas,
+            sym_triangle_fits,
+        )
 
+        if sym and x is y and f is g and sym_triangle_fits(x.shape[0]):
+            # Upper-triangle walk: half the pair count (W is symmetric).
+            return sinkhorn_step_sym_pallas(x, f, a_log, eps, p=p), None
         return sinkhorn_step_pallas(x, y, f, g, a_log, b_log, eps, p=p, sym=sym)
     lse = _lse_dense if impl == "dense" else _lse_scan
     S_xy = -eps * lse(x, y, b_log + g / eps, eps, p)

@@ -35,11 +35,28 @@ def test_fused_step_matches_two_sweeps(p, sym):
     la = jnp.full((N,), -np.log(N), jnp.float32)
     lb = jnp.full((M,), -np.log(M), jnp.float32)
 
+    if sym:
+        # sym=True contracts to "same cloud, same potential on both sides"
+        # (it may route to the upper-triangle kernel):
+        y, g, lb = x, f, la
     S_ref = sinkhorn_step_points(0.1, x, y, la, lb, f, g, p=p, impl="dense", sym=sym)
     # Pallas runs in interpreter mode on CPU:
     S_pl = sinkhorn_step_points(0.1, x, y, la, lb, f, g, p=p, impl="pallas", sym=sym)
 
-    np.testing.assert_allclose(S_pl[0], S_ref[0], atol=1e-4)
+    # Float64 ground truth: on p=1 self-problems the dense f32 path's
+    # expansion-form diagonal noise (~1e-3) exceeds the kernels' (which
+    # zero distances below the f32 noise floor), so compare both against
+    # the exact value rather than each other.
+    eps = 0.1
+    x64, y64 = np.asarray(x, np.float64), np.asarray(y, np.float64)
+    d64 = np.sqrt(((x64[:, None, :] - y64[None, :, :]) ** 2).sum(-1))
+    C64 = d64 if p == 1 else d64**2 / 2
+    h64 = np.asarray(lb, np.float64) + np.asarray(g, np.float64) / eps
+    from scipy.special import logsumexp
+
+    S64 = -eps * logsumexp(h64[None, :] - C64 / eps, axis=-1)
+    np.testing.assert_allclose(np.asarray(S_pl[0]), S64, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(S_ref[0]), S64, atol=2e-3)
     if not sym:
         np.testing.assert_allclose(S_pl[1], S_ref[1], atol=1e-4)
     else:
