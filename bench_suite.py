@@ -28,13 +28,13 @@ def run_config(name, make_step, ns):
         try:
             t0 = time.perf_counter()
             v, g = step(x, y)
-            sync = float(v) + float(g[0, 0])
+            sync = float(v + g[0, 0])  # one host fetch: see bench.py
             compile_s = time.perf_counter() - t0
             reps = 3 if n <= 200_000 else 1
             t0 = time.perf_counter()
             for _ in range(reps):
                 v, g = step(x, y)
-                sync = float(v) + float(g[0, 0])
+                sync = float(v + g[0, 0])
             dt = (time.perf_counter() - t0) / reps
         except Exception as e:  # noqa: BLE001 - report and move on
             print(json.dumps({"metric": f"{name}_N{n}", "error": str(e)[:200]}))
