@@ -424,6 +424,14 @@ def gibbs_apply_sparse(
     N, D = x.shape
     M, _ = y.shape
     C = V.shape[-1]
+    if C == 1:
+        # Mosaic cannot lower a 1-column dot_general into a (non-constant)
+        # accumulator ("only constant accumulators supported"): pad to 2.
+        V = jnp.concatenate([V, jnp.zeros_like(V)], axis=-1)
+        return gibbs_apply_sparse(
+            x, y, phi, psi, V, eps, cols, counts, p=p, kind=kind,
+            block_n=block_n, block_m=block_m,
+        )[:, :1]
     assert N % block_n == 0 and M % block_m == 0
     nI, cap = cols.shape
 

@@ -33,6 +33,8 @@ __all__ = [
     "pyramid",
     "upsample",
     "softmin_grid",
+    "softmin_grid_coords",
+    "axis_kernel_log",
     "C_transform",
 ]
 
@@ -113,6 +115,48 @@ def _lse_axis(A, K_log):
     # into a no-op and the log into -inf on empty rows:
     floor = 1e-300 if A.dtype == jnp.float64 else 1e-30
     return m + jnp.log(jnp.maximum(conv, floor))
+
+
+def axis_kernel_log(coords, eps, p, period=None):
+    """Log of the 1D Gibbs kernel for arbitrary axis coordinates:
+    ``K_log[i, j] = -d(x_i, x_j)^p / (p * eps)`` with the torus metric
+    ``d = min(|xi - xj|, period - |xi - xj|)`` when ``period`` is given.
+
+    Implements the per-axis generalization behind ``ot.solve_grid``'s
+    documented ``axes=`` / ``periodic=`` parameters (the reference ships
+    only the docstring, ``ot/_implementations/grid.py:224-236``).
+    """
+    diff = jnp.abs(coords[:, None] - coords[None, :])
+    if period is not None:
+        diff = jnp.minimum(diff, period - diff)
+    if p == 2:
+        return -(diff**2) / (2 * eps)
+    elif p == 1:
+        return -diff / eps
+    raise NotImplementedError(f"p={p} is not supported on grids.")
+
+
+def softmin_grid_coords(eps, p, h_y, coords, periods=None, D=None):
+    """Separable soft-C-transform with explicit per-axis coordinates and
+    optional per-axis periodicity (see :func:`axis_kernel_log`).
+
+    Args:
+        coords: D-tuple of ``(N_d,)`` coordinate arrays.
+        periods: D-tuple of floats or ``None`` entries.
+    """
+    if D is None:
+        D = h_y.ndim - 1
+    if periods is None:
+        periods = (None,) * D
+    out = h_y
+    for d, axis in enumerate(range(h_y.ndim - D, h_y.ndim)):
+        K_log = axis_kernel_log(
+            jnp.asarray(coords[d], out.dtype), eps, p, period=periods[d]
+        )
+        moved = jnp.moveaxis(out, axis, -1)
+        moved = _lse_axis(moved, K_log)
+        out = jnp.moveaxis(moved, -1, axis)
+    return -eps * out
 
 
 def softmin_grid(eps, C_xy, h_y, D=None):

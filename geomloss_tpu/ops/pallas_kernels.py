@@ -641,6 +641,14 @@ def gibbs_apply_pallas(
     N, D = x.shape
     M, _ = y.shape
     C = V.shape[-1]
+    if C == 1:
+        # Mosaic cannot lower a 1-column dot_general into a (non-constant)
+        # accumulator ("only constant accumulators supported"): pad to 2.
+        V = jnp.concatenate([V, jnp.zeros_like(V)], axis=-1)
+        return gibbs_apply_pallas(
+            x, y, phi, psi, V, eps, p=p, kind=kind,
+            block_n=block_n, block_m=block_m,
+        )[:, :1]
     bn = min(block_n, max(128, N))
     bm = min(block_m, max(128, M))
     Np, Mp = _cdiv(N, bn) * bn, _cdiv(M, bm) * bm

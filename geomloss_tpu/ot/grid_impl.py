@@ -23,8 +23,12 @@ with coordinates ``arange(N)/N`` per axis and the ground cost is
 import jax
 import jax.numpy as jnp
 
+import math
+
 from ..models.sinkhorn_images import sinkhorn_divergence
-from ..ops.grid import softmin_grid
+from ..ops.grid import log_dens, softmin_grid, softmin_grid_coords
+from ..solvers.annealing import scaling_parameters
+from ..solvers.sinkhorn_loop import sinkhorn_loop
 from ..solvers.sinkhorn_loop import sinkhorn_cost as legacy_sinkhorn_cost
 from ..utils.cache import lazy_properties
 from ..utils.typing import SinkhornPotentials
@@ -34,9 +38,118 @@ from .result import LinearOperator, OTResult
 __all__ = ["solve_grid", "barycenter_grid", "OTResultGrid"]
 
 
-def _log_apply(eps, p, log_v, g_over_eps, D):
+def _log_apply(eps, p, log_v, g_over_eps, D, coords=None, periods=None):
     """log sum_j exp(log_v_j + g_j/eps - C_ij/eps), separably."""
-    return -softmin_grid(eps, p, log_v + g_over_eps, D=D) / eps
+    if coords is not None:
+        out = softmin_grid_coords(
+            eps, p, log_v + g_over_eps, coords, periods, D=D
+        )
+    else:
+        out = softmin_grid(eps, p, log_v + g_over_eps, D=D)
+    return -out / eps
+
+
+def _parse_axes(axes, periodic, grid_shape, dtype):
+    """Normalize the documented ``axes`` / ``periodic`` forms into per-axis
+    coordinate arrays and periods (reference docstring,
+    ``ot/_implementations/grid.py:224-236``)."""
+    D = len(grid_shape)
+
+    def centers(n, vmin, vmax):
+        return vmin + (jnp.arange(n, dtype=dtype) + 0.5) / n * (vmax - vmin)
+
+    # periodic -> D-tuple of bools:
+    if isinstance(periodic, bool) or periodic is None:
+        periodic = (bool(periodic),) * D
+    periodic = tuple(bool(t) for t in periodic)
+    if len(periodic) != D:
+        raise ValueError(f"Expected {D} periodic flags; got {len(periodic)}.")
+
+    # axes -> per-axis (coords, extent):
+    def is_pair(v):
+        return (
+            isinstance(v, (tuple, list))
+            and len(v) == 2
+            and all(isinstance(t, (int, float)) for t in v)
+        )
+
+    if axes is None:
+        per_axis = [(0.0, 1.0)] * D
+    elif is_pair(axes):
+        per_axis = [tuple(axes)] * D
+    elif isinstance(axes, (tuple, list)) and len(axes) == D:
+        per_axis = list(axes)
+    else:
+        raise ValueError(
+            "axes must be a [vmin, vmax) pair, a D-uple of pairs, or a "
+            f"D-uple of coordinate arrays; got {axes!r}."
+        )
+
+    coords, periods, extents = [], [], []
+    for d, (spec, n, per) in enumerate(zip(per_axis, grid_shape, periodic)):
+        if is_pair(spec):
+            vmin, vmax = float(spec[0]), float(spec[1])
+            coords.append(centers(n, vmin, vmax))
+            L = vmax - vmin
+        else:
+            c = jnp.asarray(spec, dtype)
+            if c.ndim != 1 or c.shape[0] != n:
+                raise NotImplementedError(
+                    "Per-axis coordinates must be (N_d,) arrays (per-batch "
+                    f"coordinates are not supported); axis {d} got shape "
+                    f"{c.shape} for N_d={n}."
+                )
+            coords.append(c)
+            if per:
+                raise ValueError(
+                    "A periodic axis needs [vmin, vmax) bounds (the period "
+                    "cannot be inferred from explicit coordinates)."
+                )
+            L = float(c.max() - c.min())
+        periods.append(L if per else None)
+        extents.append(L / 2 if per else L)
+    return tuple(coords), tuple(periods), extents
+
+
+def _solve_grid_coords(a, b, p, blur, reach, scaling, debias, coords, periods):
+    """Flat (single-scale) annealed symmetric Sinkhorn on a grid with
+    explicit axis coordinates / periodicity. The default path uses the
+    multiscale pyramid instead; this generalized path trades the pyramid
+    for arbitrary geometry (grid sides are small, so each 1D pass is a
+    tiny MXU matmul anyway)."""
+    D = a.ndim - 1
+    extents = [
+        (float(c.max() - c.min()) if per is None else per / 2)
+        for c, per in zip(coords, periods)
+    ]
+    diameter = (
+        math.sqrt(sum(e**2 for e in extents)) if p == 2 else sum(extents)
+    )
+    if blur is None:
+        # Default: one pixel (the coarsest axis), like the legacy grid code.
+        blur = max(
+            e / n for e, n in zip(extents, a.shape[1:])
+        )
+    diameter, eps, eps_list, rho = scaling_parameters(
+        None, None, p, blur, reach, diameter, scaling
+    )
+
+    def softmin(e, C, h):
+        return softmin_grid_coords(e, p, h, coords, periods, D=D)
+
+    f_aa, g_bb, g_ab, f_ba = sinkhorn_loop(
+        softmin,
+        log_dens(a),
+        log_dens(b),
+        p,
+        p,
+        p,
+        p,
+        list(eps_list),
+        rho,
+        debias=debias,
+    )
+    return (f_aa, g_bb, g_ab, f_ba), eps, blur
 
 
 @lazy_properties
@@ -48,7 +161,10 @@ class OTResultGrid(OTResult):
     size even though the implicit plan has ``(prod N)^2`` entries.
     """
 
-    def __init__(self, *, a, b, p, reg, unbalanced, debias, potentials, array_properties):
+    def __init__(
+        self, *, a, b, p, reg, unbalanced, debias, potentials,
+        array_properties, coords=None, periods=None,
+    ):
         super().__init__(
             a=a,
             b=b,
@@ -62,6 +178,8 @@ class OTResultGrid(OTResult):
             debias=debias,
         )
         self._p = p
+        self._coords = coords
+        self._periods = periods
         self._D = a.ndim - 1
         grid_shape = a.shape[1:]
         B = array_properties.B
@@ -108,9 +226,11 @@ class OTResultGrid(OTResult):
         f = self._potentials.f_ba
         g = self._potentials.g_ab
 
+        coords, periods = self._coords, self._periods
+
         def apply_one_sign(v, g_pot, f_pot):
             log_v = jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-45)), -1e4)
-            lse = _log_apply(eps, p, log_v, g_pot / eps, D)
+            lse = _log_apply(eps, p, log_v, g_pot / eps, D, coords, periods)
             return jnp.exp(f_pot / eps + lse)
 
         def matmat(s):  # s: (B, *grid, V)
@@ -181,11 +301,6 @@ def solve_grid(
     """
     if a is None or b is None:
         raise ValueError("solve_grid requires both 'a' and 'b' densities.")
-    if axes is not None or (periodic is not False and periodic is not None):
-        raise NotImplementedError(
-            "Custom axes and periodic boundaries are not supported yet; "
-            "the grid lives on the unit cube [0,1)^D."
-        )
     if cost == "sqeuclidean":
         p = 2 if p is None else p
     if p not in (1, 2):
@@ -218,16 +333,27 @@ def solve_grid(
             f"and {b.shape}."
         )
 
-    (f_aa, g_bb, g_ab, f_ba), reg_val = sinkhorn_divergence(
-        a,
-        b,
-        p=p,
-        blur=blur,
-        reach=reach,
-        scaling=scaling,
-        debias=debias,
-        _return_raw_potentials=True,
-    )
+    use_coords = axes is not None or (periodic not in (False, None))
+    if use_coords:
+        # Generalized geometry (documented upstream, implemented here):
+        # explicit axis coordinates / [vmin, vmax) bounds and per-axis
+        # periodic (torus) boundaries, on a flat annealed loop.
+        coords, periods, _ = _parse_axes(axes, periodic, a.shape[1:], a.dtype)
+        (f_aa, g_bb, g_ab, f_ba), reg_val, blur = _solve_grid_coords(
+            a, b, p, blur, reach, scaling, debias, coords, periods
+        )
+    else:
+        coords = periods = None
+        (f_aa, g_bb, g_ab, f_ba), reg_val = sinkhorn_divergence(
+            a,
+            b,
+            p=p,
+            blur=blur,
+            reach=reach,
+            scaling=scaling,
+            debias=debias,
+            _return_raw_potentials=True,
+        )
     rho = None if reach is None else reach**p
 
     array_properties = ArrayProperties(
@@ -248,6 +374,8 @@ def solve_grid(
         debias=debias,
         potentials=SinkhornPotentials(f_aa=f_aa, g_bb=g_bb, g_ab=g_ab, f_ba=f_ba),
         array_properties=array_properties,
+        coords=coords,
+        periods=periods,
     )
 
 
