@@ -386,26 +386,32 @@ def _apply_sparse_kernel(
                 w = jnp.exp2(phi_ref[:] + (psi_ref[:] - dw * c2))
                 if kind == "gibbs_grad":
                     w = jnp.where(sq > 1e-6, w / d, 0.0)
-        # Both contraction operands are split into bf16-exact summands (the
-        # caller stacks V = V1 + V2 along the channel axis) so the result
-        # reaches ~2^-14 relative accuracy on the bf16 MXU:
-        C = VT_ref.shape[0] // 2
-        V1 = VT_ref[:C, :]
-        V2 = VT_ref[C:, :]
-        w1 = _bf16_trunc(w)
-        w2 = w - w1
-        dn = (((1,), (1,)), ((), ()))
-        acc_ref[:] += (
-            lax.dot_general(
-                w1, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
+        if VT_ref.shape[0] == 1:
+            # Single-channel matvec: exact f32 broadcast multiply + row
+            # reduction on the VPU (also sidesteps Mosaic's C=1
+            # dot_general-into-accumulator limitation).
+            acc_ref[:] += jnp.sum(w * VT_ref[:], axis=1, keepdims=True)
+        else:
+            # Both contraction operands are split into bf16-exact summands
+            # (the caller stacks V = V1 + V2 along the channel axis) so the
+            # result reaches ~2^-14 relative accuracy on the bf16 MXU:
+            C = VT_ref.shape[0] // 2
+            V1 = VT_ref[:C, :]
+            V2 = VT_ref[C:, :]
+            w1 = _bf16_trunc(w)
+            w2 = w - w1
+            dn = (((1,), (1,)), ((), ()))
+            acc_ref[:] += (
+                lax.dot_general(
+                    w1, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
+                )
+                + lax.dot_general(
+                    w1, V2, dimension_numbers=dn, preferred_element_type=jnp.float32
+                )
+                + lax.dot_general(
+                    w2, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
+                )
             )
-            + lax.dot_general(
-                w1, V2, dimension_numbers=dn, preferred_element_type=jnp.float32
-            )
-            + lax.dot_general(
-                w2, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
-            )
-        )
 
     @pl.when(j == nj - 1)
     def _finalize():
@@ -424,14 +430,6 @@ def gibbs_apply_sparse(
     N, D = x.shape
     M, _ = y.shape
     C = V.shape[-1]
-    if C == 1:
-        # Mosaic cannot lower a 1-column dot_general into a (non-constant)
-        # accumulator ("only constant accumulators supported"): pad to 2.
-        V = jnp.concatenate([V, jnp.zeros_like(V)], axis=-1)
-        return gibbs_apply_sparse(
-            x, y, phi, psi, V, eps, cols, counts, p=p, kind=kind,
-            block_n=block_n, block_m=block_m,
-        )[:, :1]
     assert N % block_n == 0 and M % block_m == 0
     nI, cap = cols.shape
 
@@ -455,8 +453,11 @@ def gibbs_apply_sparse(
     sqx = ((x32**2).sum(-1))[:, None]
     sqy = ((y32**2).sum(-1))[None, :]
     VT = V.astype(f32).T
-    VT1 = _bf16_trunc(VT)
-    VT = jnp.concatenate([VT1, VT - VT1], axis=0)  # (2 C, M)
+    if C > 1:
+        # bf16-exact summand split (C == 1 uses an exact f32 VPU
+        # row reduction instead):
+        VT1 = _bf16_trunc(VT)
+        VT = jnp.concatenate([VT1, VT - VT1], axis=0)  # (2 C, M)
     eps_arr = eps32.reshape(1)
 
     K = xhT.shape[0]
@@ -470,7 +471,7 @@ def gibbs_apply_sparse(
             pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
             pl.BlockSpec((block_n, 1), lambda i, j, c, n, e: (i, 0)),
             pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
-            pl.BlockSpec((2 * C, block_m), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
+            pl.BlockSpec((VT.shape[0], block_m), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
         ],
         out_specs=pl.BlockSpec((block_n, C), lambda i, j, c, n, e: (i, 0)),
         scratch_shapes=[pltpu.VMEM((block_n, C), f32)],

@@ -592,27 +592,34 @@ def _apply_kernel(
             # Zero below the f32 noise floor (ops/softmin.py::GRAD_SQDIST_CUT).
             w = jnp.where(sq > 1e-6, w / d, 0.0)
 
-    # (BN, BM) @ (BM, C) on the MXU, contracting the streamed axis. Both
-    # operands are split into bf16-exact summands (the caller stacks
-    # V = V1 + V2 along the channel axis) so the contraction reaches
-    # ~2^-14 relative accuracy despite the MXU's bf16 multipliers:
-    C = VT_ref.shape[0] // 2
-    V1 = VT_ref[:C, :]
-    V2 = VT_ref[C:, :]
-    w1 = _bf16_trunc(w)
-    w2 = w - w1
-    dn = (((1,), (1,)), ((), ()))
-    acc_ref[:] += (
-        lax.dot_general(
-            w1, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
+    if VT_ref.shape[0] == 1:
+        # Single-channel matvec: a broadcast multiply + row reduction on
+        # the VPU, in full f32 (exact — no bf16 split needed). Also works
+        # around Mosaic's refusal to lower a 1-column dot_general into a
+        # (non-constant) accumulator.
+        acc_ref[:] += jnp.sum(w * VT_ref[:], axis=1, keepdims=True)
+    else:
+        # (BN, BM) @ (BM, C) on the MXU, contracting the streamed axis. Both
+        # operands are split into bf16-exact summands (the caller stacks
+        # V = V1 + V2 along the channel axis) so the contraction reaches
+        # ~2^-14 relative accuracy despite the MXU's bf16 multipliers:
+        C = VT_ref.shape[0] // 2
+        V1 = VT_ref[:C, :]
+        V2 = VT_ref[C:, :]
+        w1 = _bf16_trunc(w)
+        w2 = w - w1
+        dn = (((1,), (1,)), ((), ()))
+        acc_ref[:] += (
+            lax.dot_general(
+                w1, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
+            )
+            + lax.dot_general(
+                w1, V2, dimension_numbers=dn, preferred_element_type=jnp.float32
+            )
+            + lax.dot_general(
+                w2, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
+            )
         )
-        + lax.dot_general(
-            w1, V2, dimension_numbers=dn, preferred_element_type=jnp.float32
-        )
-        + lax.dot_general(
-            w2, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
-        )
-    )
 
     @pl.when(j == nj - 1)
     def _finalize():
@@ -641,14 +648,6 @@ def gibbs_apply_pallas(
     N, D = x.shape
     M, _ = y.shape
     C = V.shape[-1]
-    if C == 1:
-        # Mosaic cannot lower a 1-column dot_general into a (non-constant)
-        # accumulator ("only constant accumulators supported"): pad to 2.
-        V = jnp.concatenate([V, jnp.zeros_like(V)], axis=-1)
-        return gibbs_apply_pallas(
-            x, y, phi, psi, V, eps, p=p, kind=kind,
-            block_n=block_n, block_m=block_m,
-        )[:, :1]
     bn = min(block_n, max(128, N))
     bm = min(block_m, max(128, M))
     Np, Mp = _cdiv(N, bn) * bn, _cdiv(M, bm) * bm
@@ -676,9 +675,11 @@ def gibbs_apply_pallas(
     sqx = _pad_axis(((x32**2).sum(-1))[:, None], 0, Np)  # (Np, 1)
     sqy = _pad_axis(((y32**2).sum(-1))[None, :], 1, Mp)  # (1, Mp)
     VT = _pad_axis(V.astype(f32).T, 1, Mp)  # (C, Mp) — padded V columns are 0
-    # Split V into bf16-exact summands, stacked along the channel axis:
-    VT1 = _bf16_trunc(VT)
-    VT = jnp.concatenate([VT1, VT - VT1], axis=0)  # (2 C, Mp)
+    if C > 1:
+        # Split V into bf16-exact summands, stacked along the channel axis
+        # (C == 1 uses an exact f32 VPU row reduction instead):
+        VT1 = _bf16_trunc(VT)
+        VT = jnp.concatenate([VT1, VT - VT1], axis=0)  # (2 C, Mp)
 
     eps_arr = eps32.reshape(1, 1)
 
@@ -695,7 +696,7 @@ def gibbs_apply_pallas(
             pl.BlockSpec((1, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * C, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VT.shape[0], bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bn, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, C), f32),
