@@ -573,6 +573,16 @@ def sinkhorn_multiscale(
         if debias:
             f_aa_f, g_bb_f = damp * S_xx, damp * S_yy
 
+    # Zero-mass (padding) slots can carry huge potentials (the -1e5
+    # log-weight clamp scaled by eps): harmless in the balanced dot
+    # products, but the unbalanced cost's exp(-f/rho) overflows and
+    # inf * 0 = NaN. Zero them out — their weight is exactly 0.
+    f_ba_f = jnp.where(a_s > 0, f_ba_f, 0.0)
+    g_ab_f = jnp.where(b_s > 0, g_ab_f, 0.0)
+    if debias:
+        f_aa_f = jnp.where(a_s > 0, f_aa_f, 0.0)
+        g_bb_f = jnp.where(b_s > 0, g_bb_f, 0.0)
+
     out = sinkhorn_cost(
         eps,
         rho,

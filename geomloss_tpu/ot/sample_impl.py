@@ -549,9 +549,126 @@ def solve_sample_batch(
     return results
 
 
-def barycenter_sample(*args, **kwargs):
-    """Reference parity: stub upstream (``sample.py:644-652``)."""
-    raise NotImplementedError(
-        "barycenter_sample is not implemented (stub in the reference as "
-        "well); see geomloss_tpu.ImagesBarycenter for grid barycenters."
+def barycenter_sample(
+    xa,
+    a=None,
+    weights=None,
+    *,
+    blur=0.01,
+    p=2,
+    n_iter=8,
+    scaling=0.5,
+    diameter=None,
+    init=None,
+    step_size=1.0,
+):
+    r"""Free-support Wasserstein barycenter of K point clouds.
+
+    Minimizes ``sum_k weights[k] * S_blur(bar, alpha_k)`` (debiased
+    Sinkhorn divergences) over the *positions* of a uniform ``M``-point
+    barycenter, with the mass-preconditioned fixed-point update
+
+    .. math:: z \leftarrow z - \frac{1}{m}\nabla_z
+              \sum_k w_k S_\varepsilon(\mathrm{unif}(z), \alpha_k)
+            = \sum_k w_k T_k(z) - (T_{\mathrm{self}}(z) - z),
+
+    where ``T_k`` is the debiased barycentric map onto measure ``k`` —
+    the quasi-Newton step that is exact for quadratic (p=2) geometry.
+    **Working implementation of the reference's non-functional stub**
+    (``/root/reference/src/geomloss/ot/_implementations/sample.py:644-652``,
+    shape conventions from its comments). Each update reuses the full
+    ``SamplesLoss`` machinery, so the per-measure solves stream on TPU
+    (online/multiscale backends) and scale to large clouds.
+
+    Args:
+        xa: ``(N, D)``, ``(K, N, D)`` or ``(B, K, N, D)`` point clouds.
+        a: per-point masses, matching leading shape ``(..., N)``
+            (default uniform; the barycenter support is always uniform).
+        weights: ``(K,)`` or ``(B, K)`` barycentric weights
+            (default uniform ``1/K``).
+        blur: target blur scale of the debiased divergences.
+        p: cost exponent (2 recommended; 1 runs a subgradient flow).
+        n_iter: number of fixed-point updates (static).
+        scaling: epsilon-annealing rate of each inner solve.
+        diameter: optional static bound on the point-cloud diameter
+            (required under ``jax.jit``, like ``SamplesLoss``).
+        init: optional ``(M, D)`` / ``(B, M, D)`` initial support
+            (default: the index-wise ``weights``-mix of the input clouds).
+        step_size: scale of the preconditioned update (1 = full step).
+
+    Returns:
+        :class:`BarycenterResult` with uniform ``masses`` ``(M,)`` or
+        ``(B, M)`` and ``samples`` ``(M, D)`` or ``(B, M, D)``.
+    """
+    from ..models.samples_loss import SamplesLoss
+    from .solve_matrix import BarycenterResult
+
+    xa = jnp.asarray(xa)
+    if xa.ndim == 2:
+        xa = xa[None, None]
+        batched = False
+    elif xa.ndim == 3:
+        xa = xa[None]
+        batched = False
+    elif xa.ndim == 4:
+        batched = True
+    else:
+        raise ValueError(
+            "barycenter_sample expects (N, D), (K, N, D) or (B, K, N, D) "
+            f"point clouds; received shape {tuple(xa.shape)}."
+        )
+    B, K, N, D = xa.shape
+    dtype = xa.dtype
+
+    if a is None:
+        a = jnp.full((B, K, N), 1.0 / N, dtype=dtype)
+    else:
+        a = jnp.asarray(a, dtype).reshape((B, K, N))
+        a = a / a.sum(axis=-1, keepdims=True)
+    if weights is None:
+        weights = jnp.full((B, K), 1.0 / K, dtype=dtype)
+    else:
+        weights = jnp.asarray(weights, dtype)
+        weights = jnp.broadcast_to(weights.reshape((-1, K)), (B, K))
+        weights = weights / weights.sum(axis=1, keepdims=True)
+
+    if init is None:
+        # Index-wise mix: exact for degenerate weights, a reasonable seed
+        # otherwise (the fixed point washes out the pairing).
+        z = jnp.einsum("bk,bknd->bnd", weights, xa)
+    else:
+        z = jnp.asarray(init, dtype)
+        z = z[None] if z.ndim == 2 else z
+    M = z.shape[1]
+    m = jnp.full((B, M), 1.0 / M, dtype=dtype)
+
+    if diameter is None:
+        pts = xa.reshape(B * K * N, D)
+        diameter = float(max_diameter(pts, pts))
+
+    loss = SamplesLoss(
+        "sinkhorn", p=p, blur=blur, scaling=scaling, diameter=diameter,
+        debias=True, backend="auto",
     )
+
+    def objective(z, b):
+        # sum_k w_k S(unif(z), alpha_k), batched over B:
+        total = 0.0
+        for k in range(K):
+            total = total + weights[b, k] * loss(
+                m[b], z, a[b, k], xa[b, k]
+            )
+        return total
+
+    sg = jax.lax.stop_gradient
+    for _ in range(n_iter):
+        zs = []
+        for b in range(B):
+            grad = jax.grad(objective)(sg(z[b]), b)
+            zs.append(sg(z[b]) - step_size * grad / m[b][:, None])
+        z = jnp.stack(zs)
+
+    masses, samples = m, z
+    if not batched:
+        masses, samples = masses[0], samples[0]
+    return BarycenterResult(masses=masses, samples=samples, reg=p * blur**p)

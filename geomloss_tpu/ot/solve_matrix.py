@@ -302,15 +302,229 @@ def solve_batch(
     )
 
 
-def barycenter(cost, a=None, weights=None, **kwargs):
-    """Wasserstein barycenter from explicit cost matrices.
+class BarycenterResult:
+    """Result of a Wasserstein barycenter problem.
 
-    The reference leaves this as a non-functional stub
-    (``matrix.py:709-716``); use :func:`geomloss_tpu.ot.barycenter_grid`
-    or :class:`geomloss_tpu.ImagesBarycenter` for working barycenters on
-    grids."""
-    raise NotImplementedError(
-        "ot.barycenter on explicit cost matrices is not implemented "
-        "(it is a stub in the reference library as well); see "
-        "geomloss_tpu.ImagesBarycenter for barycenters on image grids."
+    Follows the shape conventions the reference documents for its (stub)
+    ``ot.barycenter`` / ``ot.barycenter_sample`` (``matrix.py:704-717``,
+    ``sample.py:640-652``): ``masses`` are the barycenter weights on its
+    ``M``-point support, ``samples`` the support coordinates when the
+    solver chooses them (free-support problems; ``None`` otherwise).
+    """
+
+    def __init__(self, *, masses, samples=None, potentials=None, reg=None):
+        self.masses = masses
+        self.samples = samples
+        self.potentials = potentials
+        self.reg = reg
+
+    def __repr__(self):
+        shape = tuple(self.masses.shape)
+        tail = "" if self.samples is None else f", samples{tuple(self.samples.shape)}"
+        return f"BarycenterResult(masses{shape}{tail})"
+
+
+def _softmin_bk(eps, C, h):
+    """Softmin over the last axis of ``C`` with a (B, K) problem batch:
+    h ``(B, K, X)``, C ``(B, K, Y, X)`` -> ``(B, K, Y)``."""
+    import jax
+
+    return -eps * jax.nn.logsumexp(h[:, :, None, :] - C / eps, axis=-1)
+
+
+def _barycenter_iteration(f_k, g_k, log_d, eps, C, Ct, C_bb, log_a, w_k):
+    """One symmetric debiased barycenter iteration on explicit cost
+    matrices — the matrix-space analogue of the grid iteration
+    (reference ``sinkhorn_barycenters.py:14-78``,
+    ``wasserstein_barycenter_images.py:6-31``).
+
+    Shapes: f_k ``(B, K, M)`` (barycenter support), g_k / log_a
+    ``(B, K, N)`` (data supports), log_d ``(B, M)``, w_k ``(B, K)``;
+    C ``(B, K, N, M)``, Ct its transpose, C_bb ``(B, M, M)`` or ``None``
+    (debiasing off: log_d stays the uniform reference measure).
+    """
+    w = w_k[:, :, None]  # (B, K, 1)
+
+    # Pseudo-step — from the measures to the barycenter:
+    ft_k = _softmin_bk(eps, Ct, log_a + g_k / eps) / eps  # (B, K, M)
+    log_bar = log_d - (ft_k * w).sum(1)  # (B, M)
+
+    # Symmetric Sinkhorn updates:
+    ft_k = _softmin_bk(eps, Ct, log_a + g_k / eps)
+    gt_k = _softmin_bk(eps, C, log_bar[:, None, :] + f_k / eps)
+    f_k = (f_k + ft_k) / 2
+    g_k = (g_k + gt_k) / 2
+
+    # Pseudo-step with the updated potentials:
+    ft_k = _softmin_bk(eps, Ct, log_a + g_k / eps) / eps
+    log_bar = log_d - (ft_k * w).sum(1)
+
+    # Update the de-biasing measure (Janati et al.'s correction):
+    if C_bb is not None:
+        h = _softmin_bk(eps, C_bb[:, None, :, :], log_d[:, None, :])[:, 0, :]
+        log_d = 0.5 * (log_d + log_bar + h / eps)
+
+    return f_k, g_k, log_d, log_bar
+
+
+def barycenter(
+    cost,
+    a=None,
+    weights=None,
+    *,
+    reg,
+    max_iter,
+    cost_bar=None,
+    backward_iterations=5,
+) -> BarycenterResult:
+    r"""Entropic Wasserstein barycenter on a fixed support, from explicit
+    cost matrices.
+
+    Solves ``argmin_bar sum_k weights[k] * OT_reg(a_k, bar)`` over the
+    masses of a fixed ``M``-point barycenter support, by symmetric
+    log-domain iterative Bregman projections with epsilon-annealing.
+    **Working implementation of the reference's non-functional stub**
+    (``/root/reference/src/geomloss/ot/_implementations/matrix.py:709-717``,
+    shape conventions from its comments).
+
+    Args:
+        cost: ``(N, M)``, ``(K, N, M)`` or ``(B, K, N, M)`` cost matrices
+            from each input measure's ``N``-point support to the shared
+            ``M``-point barycenter support.
+        a: input masses, ``(N,)``, ``(K, N)`` or ``(B, K, N)``
+            (default: uniform ``1/N``).
+        weights: barycentric weights, ``(K,)`` or ``(B, K)``
+            (default: uniform ``1/K``).
+        reg: entropic regularization strength (the final temperature of
+            the annealing schedule).
+        max_iter: number of Sinkhorn iterations (static).
+        cost_bar: optional ``(M, M)`` / ``(B, M, M)`` cost on the
+            barycenter support itself. When given, the Janati-Cuturi-
+            Gramfort debiasing density is tracked, removing the entropic
+            blur from the returned masses.
+        backward_iterations: trailing iterations re-executed with
+            autodiff enabled (the envelope shortcut; everything before is
+            detached), so gradients flow to ``cost``, ``a``, ``weights``.
+
+    Returns:
+        :class:`BarycenterResult` with ``masses`` of shape ``(M,)`` or
+        ``(B, M)`` (matching the input batch form).
+
+    .. doctest::
+
+        >>> import jax.numpy as jnp
+        >>> from geomloss_tpu import ot
+        >>> x = jnp.linspace(0, 1, 5)
+        >>> C = (x[:, None] - x[None, :]) ** 2  # shared support
+        >>> res = ot.barycenter(
+        ...     jnp.stack([C, C]),
+        ...     a=jnp.stack([jnp.eye(5)[0], jnp.eye(5)[4]]),
+        ...     reg=1e-3,
+        ...     max_iter=60,
+        ...     cost_bar=C,
+        ... )
+        >>> int(jnp.argmax(res.masses))  # mass concentrates at the middle
+        2
+    """
+    check_regularization(
+        reg=reg,
+        unbalanced=None,
+        unbalanced_type="KL",
+        method="auto",
+        tol=None,
+        max_iter=max_iter,
+    )
+    cost = jnp.asarray(cost)
+    if cost.ndim == 2:
+        batched = False
+        cost = cost[None, None]
+    elif cost.ndim == 3:
+        batched = False
+        cost = cost[None]
+    elif cost.ndim == 4:
+        batched = True
+    else:
+        raise ValueError(
+            "The 'cost' argument of ot.barycenter should be an array with "
+            "2 (N, M), 3 (K, N, M) or 4 (B, K, N, M) dimensions. "
+            f"Received shape {tuple(cost.shape)}."
+        )
+    B, K, N, M = cost.shape
+
+    if a is None:
+        a = jnp.full((B, K, N), 1.0 / N, dtype=cost.dtype)
+    else:
+        a = jnp.asarray(a, cost.dtype)
+        a = a.reshape((B, K, N)) if a.size == B * K * N else None
+        if a is None:
+            raise ValueError(
+                "The masses 'a' should have shape (N,), (K, N) or (B, K, N) "
+                "matching the cost matrices."
+            )
+    if weights is None:
+        weights = jnp.full((B, K), 1.0 / K, dtype=cost.dtype)
+    else:
+        weights = jnp.asarray(weights, cost.dtype).reshape((B, K))
+        weights = weights / weights.sum(axis=1, keepdims=True)
+
+    if cost_bar is not None:
+        cost_bar = jnp.asarray(cost_bar, cost.dtype)
+        if cost_bar.ndim == 2:
+            cost_bar = cost_bar[None]
+        if cost_bar.shape[-2:] != (M, M):
+            raise ValueError(
+                f"cost_bar should be an (M, M) = ({M}, {M}) cost on the "
+                f"barycenter support; received shape {tuple(cost_bar.shape)}."
+            )
+        cost_bar = jnp.broadcast_to(cost_bar, (B, M, M))
+
+    descent = annealing_parameters(
+        maxmin_cost=float(jnp.max(cost) - jnp.min(cost)),
+        eps=reg,
+        n_iter=max_iter,
+    )
+    eps_list = [float(e) for e in descent.eps_list]
+
+    import jax
+    from jax import lax
+
+    sg = lax.stop_gradient
+    Ct = jnp.swapaxes(cost, 2, 3)  # (B, K, M, N)
+    log_a = stable_log(a)
+
+    # --- No-grad annealed descent (envelope shortcut) -----------------------
+    cost_d, Ct_d, log_a_d, w_d = sg(cost), sg(Ct), sg(log_a), sg(weights)
+    C_bb_d = None if cost_bar is None else sg(cost_bar)
+
+    eps0 = eps_list[0]
+    f_k = _softmin_bk(eps0, Ct_d, log_a_d)  # (B, K, M)
+    log_d = jnp.full((B, M), -math.log(M), cost.dtype)  # uniform reference
+    g_k = _softmin_bk(eps0, cost_d, log_d[:, None, :])  # (B, K, N)
+
+    def body(state, eps):
+        f_k, g_k, log_d = state
+        f_k, g_k, log_d, _ = _barycenter_iteration(
+            f_k, g_k, log_d, eps, cost_d, Ct_d, C_bb_d, log_a_d, w_d
+        )
+        return (f_k, g_k, log_d), None
+
+    (f_k, g_k, log_d), _ = lax.scan(
+        body, (f_k, g_k, log_d), jnp.asarray(eps_list, cost.dtype)
+    )
+
+    # --- Differentiable tail at the target temperature ----------------------
+    eps = eps_list[-1]
+    f_k, g_k, log_d = sg(f_k), sg(g_k), sg(log_d)
+    log_bar = None
+    for _ in range(max(backward_iterations, 1)):
+        f_k, g_k, log_d, log_bar = _barycenter_iteration(
+            f_k, g_k, log_d, eps, cost, Ct, cost_bar, log_a, weights
+        )
+
+    masses = jnp.exp(log_bar)
+    if not batched:
+        masses = masses[0]
+        f_k, g_k = f_k[0], g_k[0]
+    return BarycenterResult(
+        masses=masses, potentials=(f_k, g_k), reg=reg
     )
