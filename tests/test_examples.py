@@ -33,6 +33,8 @@ SCRIPTS = [
     "model_fitting",
     "transfer_labels_tractograms",
     "track_barycenter",
+    "plot_profile",
+    "plot_barycenter_samples",
 ]
 
 pytestmark = pytest.mark.slow
