@@ -142,7 +142,9 @@ def kernel_loss(
     else:
         matvec = partial(_kernel_matvec_streaming, name, blur, impl=impl)
 
-    # Self-interaction terms with detached partners + doubled gradients:
+    # Self-interaction terms with detached partners + doubled gradients.
+    # (N.B.: a triangle-walk kernel that exploits the symmetry of K_xx was
+    # tried and rejected — see the kernel-engineering notes in CLAUDE.md.)
     a_x = matvec(double_grad(x), sg(x), sg(a))  # (B, N)
     b_y = matvec(double_grad(y), sg(y), sg(b))  # (B, M)
     # Cross term, fully differentiable:

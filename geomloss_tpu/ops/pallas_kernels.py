@@ -551,6 +551,35 @@ def sym_triangle_fits(n, block=SYM_BLOCK):
 # ==============================================================================
 
 
+def _gibbs_weights(scores, phi, psi, sqx, sqy, eps, *, p, kind):
+    """(BN, BM) weight block for the apply kernels; see
+    :func:`geomloss_tpu.ops.softmin.gibbs_apply` for the kinds.
+    ``phi``/``psi`` arrive pre-folded (quadratic terms for p=2 Gibbs) and
+    pre-scaled by log2(e)."""
+    if kind == "energy":
+        sq = sqx + sqy - 2.0 * scores
+        return -jnp.sqrt(jnp.maximum(sq, 1e-8))
+    if kind == "inv_dist":
+        sq = sqx + sqy - 2.0 * scores
+        d = jnp.sqrt(jnp.maximum(sq, 1e-8))
+        # Zero below the f32 noise floor of the expansion form — matches the
+        # reference's zero gradient in the clamped region (see
+        # ops/softmin.py::GRAD_SQDIST_CUT).
+        return jnp.where(sq > 1e-6, 1.0 / d, 0.0)
+    c2 = LOG2E / eps
+    if p == 2:
+        # One fused multiply-add + exp2 per pair:
+        return jnp.exp2(phi + (psi + scores * c2))
+    sq = sqx + sqy - 2.0 * scores
+    # f32 noise floor of the expansion form: see _lse_kernel.
+    d = jnp.where(sq > 2e-6 * (sqx + sqy), jnp.sqrt(jnp.maximum(sq, 1e-8)), 0.0)
+    w = jnp.exp2(phi + (psi - d * c2))
+    if kind == "gibbs_grad":
+        # Zero below the f32 noise floor (ops/softmin.py::GRAD_SQDIST_CUT).
+        w = jnp.where(sq > 1e-6, w / d, 0.0)
+    return w
+
+
 def _apply_kernel(
     eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref, sqx_ref, sqy_ref, VT_ref,
     o_ref, acc_ref, *, p, kind
@@ -562,35 +591,11 @@ def _apply_kernel(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    eps = eps_ref[0, 0]
     scores = _scores_dot(xhT_ref[:], yhT_ref[:])  # (BN, BM)
-
-    if kind == "energy":
-        sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
-        d = jnp.sqrt(jnp.maximum(sq, 1e-8))
-        w = -d
-    elif kind == "inv_dist":
-        sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
-        d = jnp.sqrt(jnp.maximum(sq, 1e-8))
-        # Zero below the f32 noise floor of the expansion form — matches the
-        # reference's zero gradient in the clamped region (see
-        # ops/softmin.py::GRAD_SQDIST_CUT).
-        w = jnp.where(sq > 1e-6, 1.0 / d, 0.0)
-    elif p == 2:
-        # phi/psi arrive pre-folded with the -|.|^2/(2 eps) terms and
-        # pre-scaled by log2(e): one fused multiply-add + exp2 per pair.
-        c2 = LOG2E / eps
-        w = jnp.exp2(phi_ref[:] + (psi_ref[:] + scores * c2))
-    else:
-        sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
-        # f32 noise floor of the expansion form: see _lse_kernel.
-        d = jnp.where(sq > 2e-6 * (sqx_ref[:] + sqy_ref[:]),
-                      jnp.sqrt(jnp.maximum(sq, 1e-8)), 0.0)
-        c2 = LOG2E / eps
-        w = jnp.exp2(phi_ref[:] + (psi_ref[:] - d * c2))
-        if kind == "gibbs_grad":
-            # Zero below the f32 noise floor (ops/softmin.py::GRAD_SQDIST_CUT).
-            w = jnp.where(sq > 1e-6, w / d, 0.0)
+    w = _gibbs_weights(
+        scores, phi_ref[:], psi_ref[:], sqx_ref[:], sqy_ref[:],
+        eps_ref[0, 0], p=p, kind=kind,
+    )
 
     if VT_ref.shape[0] == 1:
         # Single-channel matvec: a broadcast multiply + row reduction on
@@ -705,3 +710,4 @@ def gibbs_apply_pallas(
     )(eps_arr, xhT, yhT, phi_col, psi_row, sqx, sqy, VT)
 
     return out[:N]
+
