@@ -376,6 +376,7 @@ def barycenter(
     max_iter,
     cost_bar=None,
     backward_iterations=5,
+    maxmin_cost=None,
 ) -> BarycenterResult:
     r"""Entropic Wasserstein barycenter on a fixed support, from explicit
     cost matrices.
@@ -405,6 +406,10 @@ def barycenter(
         backward_iterations: trailing iterations re-executed with
             autodiff enabled (the envelope shortcut; everything before is
             detached), so gradients flow to ``cost``, ``a``, ``weights``.
+        maxmin_cost: optional static bound on ``max(cost) - min(cost)``
+            (the annealing start temperature). Required under ``jax.jit``,
+            where the data-dependent default cannot be evaluated — same
+            convention as ``SamplesLoss``'s ``diameter=``.
 
     Returns:
         :class:`BarycenterResult` with ``masses`` of shape ``(M,)`` or
@@ -478,8 +483,10 @@ def barycenter(
             )
         cost_bar = jnp.broadcast_to(cost_bar, (B, M, M))
 
+    if maxmin_cost is None:
+        maxmin_cost = float(jnp.max(cost) - jnp.min(cost))
     descent = annealing_parameters(
-        maxmin_cost=float(jnp.max(cost) - jnp.min(cost)),
+        maxmin_cost=maxmin_cost,
         eps=reg,
         n_iter=max_iter,
     )

@@ -176,3 +176,23 @@ def test_barycenter_sample_single_and_batched_forms():
     resb = ot.barycenter_sample(xb, blur=0.1, n_iter=2)
     assert resb.samples.shape == (2, 16, 2)
     assert resb.masses.shape == (2, 16)
+
+
+def test_barycenter_jit_with_static_maxmin():
+    """Under jax.jit the annealing length must be static: pass
+    ``maxmin_cost=`` (same convention as SamplesLoss's ``diameter=``)."""
+    C = _grid_cost(5)
+
+    @jax.jit
+    def solve(a):
+        return ot.barycenter(
+            jnp.stack([C, C]), a=a, reg=1e-3, max_iter=40,
+            cost_bar=C, maxmin_cost=1.0,
+        ).masses
+
+    m = solve(jnp.stack([jnp.eye(5)[0], jnp.eye(5)[4]]))
+    assert int(jnp.argmax(m)) == 2
+    g = jax.grad(lambda a: jnp.sum(solve(a) ** 2))(
+        jnp.stack([jnp.eye(5)[0] + 0.1, jnp.eye(5)[4] + 0.1])
+    )
+    assert bool(jnp.isfinite(g).all())
