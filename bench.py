@@ -31,11 +31,28 @@ def sphere_cloud(n, seed):
     return v.astype(np.float32)
 
 
+def warm_up_program_load():
+    """Load one throwaway program onto the device before timing anything.
+
+    The tunneled TPU runtime's *first* device-program load per process
+    takes 10-900 s (nondeterministically), regardless of program content;
+    subsequent loads take ~0.1 s. Without this, the first configuration's
+    compile/run numbers absorb that infrastructure cost.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    v = jnp.arange(1024, dtype=jnp.float32)
+    float(jax.jit(lambda v: (v * 3.0 + 1.0).sum())(v))
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from geomloss_tpu import SamplesLoss
+
+    warm_up_program_load()
 
     x = jnp.asarray(sphere_cloud(N_POINTS, 0))
     y = jnp.asarray(sphere_cloud(N_POINTS, 1))

@@ -12,7 +12,7 @@ import time
 
 import numpy as np
 
-from bench import sphere_cloud
+from bench import sphere_cloud, warm_up_program_load
 
 MAXTIME = 60.0  # seconds per config, like the reference's MAXTIME guard
 
@@ -57,6 +57,10 @@ def run_config(name, make_step, ns):
 def main():
     import jax
     from geomloss_tpu import SamplesLoss
+
+    # First device-program load pays a 10-900 s infrastructure cost on
+    # the tunneled runtime (see bench.py::warm_up_program_load):
+    warm_up_program_load()
 
     def sinkhorn_step(backend):
         def make(n):

@@ -105,7 +105,7 @@ def kd_sort_perm(x, leaf_size):
     seg = 1
     for _ in range(levels):
         seg_len = N // seg
-        xs = x[idx].reshape(seg, seg_len, D)
+        xs = jnp.take_along_axis(x, idx[:, None], axis=0).reshape(seg, seg_len, D)
         width = xs.max(axis=1) - xs.min(axis=1)  # (seg, D)
         ax = jnp.argmax(width, axis=-1)  # (seg,)
         vals = jnp.take_along_axis(xs, ax[:, None, None], axis=2)[..., 0]
@@ -183,7 +183,8 @@ def spatial_sort_blocks(
         )
     else:
         order = kd_sort_perm(x_full_d, min(block_size, pad_multiple))
-    a_s, x_s = a_full[order], x_full[order]
+    a_s = a_full[order]
+    x_s = jnp.take_along_axis(x_full, order[:, None], axis=0)
     # perm maps sorted slot -> original index (pad slots point past N):
     perm = order
 

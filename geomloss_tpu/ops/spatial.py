@@ -112,12 +112,12 @@ def radix_sort_perm(keys, total_bits=30, radix_bits=9):
     Built from one-hot histograms + cumulative sums only (no ``lax.sort``):
     compiles in O(total_bits / radix_bits) passes regardless of N.
 
-    TPU notes: the dominant costs are the random-access scatter/gathers
-    (one scatter + two gathers per pass) and the ``(N, R)`` one-hot
-    cumsum. ``radix_bits=9`` trades a wider cumsum for fewer passes (2 at the 18-bit
-    keys the multiscale sort uses) — and the scatter is marked
-    unique/in-bounds (``rank`` is a permutation by construction), which
-    lets XLA emit the vectorized path.
+    TPU notes: the dominant costs are the random-access scatters (one
+    per payload per pass) and the ``(N, R)`` one-hot cumsum.
+    ``radix_bits=9`` trades a wider cumsum for fewer passes (2 at the
+    18-bit keys the multiscale sort uses); scattering the payloads
+    directly skips the inverse permutation + gathers of the naive
+    formulation (one random-access op per payload instead of two).
 
     Returns:
         ``(N,)`` int32 permutation such that ``keys[perm]`` is sorted.
@@ -140,11 +140,7 @@ def radix_sort_perm(keys, total_bits=30, radix_bits=9):
         # Scatter the payloads directly to their target positions (one
         # random-access op each) instead of materializing the inverse
         # permutation and gathering through it:
-        scat = lambda v: (
-            jnp.zeros((N,), jnp.int32)
-            .at[rank]
-            .set(v, unique_indices=True, mode="promise_in_bounds")
-        )
+        scat = lambda v: jnp.zeros((N,), jnp.int32).at[rank].set(v)
         idx = scat(idx)
         if shift + radix_bits < total_bits:
             k = scat(k)
