@@ -106,43 +106,64 @@ def hilbert_key(x, bits=10):
     return key
 
 
-def radix_sort_perm(keys, total_bits=30, radix_bits=9):
+def radix_sort_perm(keys, total_bits=30, radix_bits=9, chunk=128):
     """Stable LSD radix argsort of non-negative integer keys.
 
-    Built from one-hot histograms + cumulative sums only (no ``lax.sort``):
-    compiles in O(total_bits / radix_bits) passes regardless of N.
+    No ``lax.sort`` (whose bitonic network blows up XLA compile time with
+    N): compiles in O(total_bits / radix_bits) passes regardless of N.
 
-    TPU notes: the dominant costs are the random-access scatters (one
-    per payload per pass) and the ``(N, R)`` one-hot cumsum.
-    ``radix_bits=9`` trades a wider cumsum for fewer passes (2 at the
-    18-bit keys the multiscale sort uses); scattering the payloads
-    directly skips the inverse permutation + gathers of the naive
-    formulation (one random-access op per payload instead of two).
+    TPU notes: ranks are computed with a **two-level chunked scheme** —
+    per-chunk digit histograms and within-chunk equal-digit counts, both
+    expressed as broadcast-compare + reduce so XLA fuses them without
+    materializing any ``(N, R)`` intermediate. This replaced a
+    ``cumsum(one_hot(b, R), axis=0)`` formulation whose N x R
+    materialized prefix dominated large-N sorts (at N = 2^20:
+    46 ms vs 110+ ms per 18-bit sort). ``radix_bits=9`` -> 2 passes at
+    the 18-bit keys the multiscale sort uses; ``chunk=128`` balances the
+    ``N * chunk`` within-chunk compares against the ``R * (N / chunk)``
+    offset table (measured best of {6,9} x {128,256,512}).
 
     Returns:
-        ``(N,)`` int32 permutation such that ``keys[perm]`` is sorted.
+        ``(N,)`` int32 permutation such that ``keys[perm]`` is sorted
+        (stable: equal keys keep their input order).
     """
     N = keys.shape[0]
     R = 1 << radix_bits
-    idx = jnp.arange(N, dtype=jnp.int32)
+    Npad = -(-N // chunk) * chunk
     k = keys.astype(jnp.int32)
+    if Npad != N:
+        # Stable sort keeps the max-key pads after all real elements:
+        k = jnp.concatenate(
+            [k, jnp.full((Npad - N,), (1 << total_bits) - 1, jnp.int32)]
+        )
+    C = Npad // chunk
+    idx = jnp.arange(Npad, dtype=jnp.int32)
+    iota_R = jnp.arange(R, dtype=jnp.int32)
+    tri = (
+        jnp.arange(chunk)[:, None] >= jnp.arange(chunk)[None, :]
+    ).astype(jnp.int32)
+    chunk_ids = jnp.arange(C, dtype=jnp.int32)[:, None]
 
     for shift in range(0, total_bits, radix_bits):
-        b = (k >> shift) & (R - 1)  # (N,)
-        oh = jax.nn.one_hot(b, R, dtype=jnp.int32)  # (N, R)
-        within = jnp.cumsum(oh, axis=0)  # inclusive per-bucket counts
-        eq_rank = jnp.take_along_axis(within, b[:, None], axis=1)[:, 0]  # 1-based
-        totals = within[-1]  # (R,)
-        offsets = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(totals)[:-1].astype(jnp.int32)]
+        b = ((k >> shift) & (R - 1)).reshape(C, chunk)
+        # Per-chunk digit histogram (fused compare + reduce, no (N, R)
+        # buffer):
+        hist = (b[:, :, None] == iota_R[None, None, :]).astype(jnp.int32).sum(1)
+        # Exclusive global offsets in (digit, chunk)-major order:
+        flat = hist.T.reshape(-1)  # (R * C,)
+        excl = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(flat)[:-1].astype(jnp.int32)]
         )
-        rank = offsets[b] + eq_rank - 1  # (N,) target positions
+        off = excl.reshape(R, C)
+        # Stable within-chunk rank among equal digits (incl. self):
+        eq = (b[:, :, None] == b[:, None, :]).astype(jnp.int32)  # (C,S,S)
+        within = (eq * tri[None]).sum(axis=2)  # (C, S)
+        rank = (off[b, chunk_ids] + within - 1).reshape(-1)
         # Scatter the payloads directly to their target positions (one
-        # random-access op each) instead of materializing the inverse
-        # permutation and gathering through it:
-        scat = lambda v: jnp.zeros((N,), jnp.int32).at[rank].set(v)
+        # random-access op each, no inverse permutation + gathers):
+        scat = lambda v: jnp.zeros((Npad,), jnp.int32).at[rank].set(v)
         idx = scat(idx)
         if shift + radix_bits < total_bits:
             k = scat(k)
 
-    return idx
+    return idx[:N]
