@@ -358,8 +358,10 @@ def solve_grid(
 
     array_properties = ArrayProperties(
         B=a.shape[0],
-        N=int(jnp.prod(jnp.asarray(a.shape[1:]))),
-        M=int(jnp.prod(jnp.asarray(b.shape[1:]))),
+        # math.prod, not jnp.prod: shapes are static, and jnp ops are
+        # staged out under jit (int() of a tracer raises).
+        N=math.prod(a.shape[1:]),
+        M=math.prod(b.shape[1:]),
         dtype=a.dtype,
         device=str(getattr(a, "device", "cpu")),
         library="jax",

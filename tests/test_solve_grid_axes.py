@@ -7,6 +7,7 @@ properties (cost scaling, torus translation invariance) rather than
 golden values.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -94,3 +95,19 @@ def test_periodic_with_explicit_coords_raises():
     coords = jnp.linspace(0.0, 1.0, a.shape[1])
     with pytest.raises(ValueError):
         ot.solve_grid(a, b, axes=(coords,), periodic=True, blur=0.1)
+
+
+def test_solve_grid_under_jit():
+    """Both grid paths (default pyramid and axes/periodic) jit cleanly:
+    shapes and schedules are static."""
+    a, b = _densities(n=32, seed=11)
+
+    f = jax.jit(
+        lambda a, b: ot.solve_grid(
+            a, b, axes=(0.0, 2.0), periodic=True, blur=0.1, scaling=0.7
+        ).value
+    )
+    v = f(a, b)
+    assert np.isfinite(float(v[0]))
+    g = jax.jit(lambda a, b: ot.solve_grid(a, b, blur=0.05, scaling=0.7).value)
+    assert np.isfinite(float(g(a, b)[0]))
