@@ -771,6 +771,53 @@ def _lse_sparse_bwd(p, block, res, u):
 _lse_sparse_diff.defvjp(_lse_sparse_fwd, _lse_sparse_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def softmin_extrapolation_sparse_dir(
+    x, y, f, g, loga, logb, eps, cols, counts, p, block
+):
+    r"""One direction of the truncated differentiable last extrapolation:
+    the absorbed softmin over the rows of ``x``, with gradient flowing to
+    ``x`` only (detached-cost convention, reference
+    ``_legacy/sinkhorn_samples.py:179-185`` — the column cloud and all
+    potentials are constants).
+
+    The row-sharded (multi-chip) fine phase uses this for both directions
+    — each orientation is row-local to a device shard, and the detached
+    convention means no cross-device cotangents exist.
+    """
+    eps32 = jnp.asarray(eps, jnp.float32)
+    phi = loga + f / eps32
+    psi = logb + g / eps32
+    r = _absorbed_sum(x, y, phi, psi, eps32, cols, counts, p, block)
+    return (f + eps32 * (loga - jnp.log(r))).astype(f.dtype)
+
+
+def _softmin_extrap_dir_fwd(x, y, f, g, loga, logb, eps, cols, counts, p, block):
+    S = softmin_extrapolation_sparse_dir(
+        x, y, f, g, loga, logb, eps, cols, counts, p, block
+    )
+    return S, (x, y, f, g, loga, logb, eps, cols, counts, S)
+
+
+def _softmin_extrap_dir_bwd(p, block, res, u):
+    x, y, f, g, loga, logb, eps, cols, counts, S = res
+    dx = _extrap_dx_sparse(
+        x, y, f, g, loga, logb, eps, S, u, cols, counts, p, block
+    )
+    z = jnp.zeros_like
+    return (
+        dx.astype(x.dtype),
+        z(y), z(f), z(g), z(loga), z(logb),
+        jnp.zeros_like(jnp.asarray(eps)),
+        None, None,
+    )
+
+
+softmin_extrapolation_sparse_dir.defvjp(
+    _softmin_extrap_dir_fwd, _softmin_extrap_dir_bwd
+)
+
+
 def softmin_sparse(eps, C_xy, h, p=2, block=256):
     """Truncated softmin: drop-in for the multiscale fine phase.
 

@@ -1,0 +1,358 @@
+r"""Multi-chip multiscale Sinkhorn: row-sharded truncated fine phase.
+
+The reference's multiscale backend is single-GPU (SURVEY §2.3); this is
+its TPU-pod scale-out. The structure exploits two facts about the fused
+absorbed step (``ops/block_sparse.py``):
+
+1. **Both softmin directions are row reductions** over their own tile
+   tables (``cols`` for x-rows, ``colsT`` for y-rows) — so sharding the
+   *rows* of both clouds across a 1D mesh makes every sparse sweep
+   device-local, provided each device also holds a replicated copy of
+   the opposite cloud (a ``(N, 3)`` f32 cloud is 12 MB at N=1e6 —
+   trivially replicable; the ``O(N^2)``-equivalent sweep work is what
+   gets divided by the mesh size).
+2. **The only cross-device dependency per iteration is the opposite
+   potential vector** (the softmin bias): one ``all_gather`` of a
+   ``(N/R,)`` f32 shard per direction per iteration — a few MB over ICI
+   against tens of ms of sweep compute.
+
+The cheap phases (spatial sort, coarse solve on ~10^3 block centroids,
+extrapolation, truncation-mask construction) run replicated — they are
+O(N) or O(K^2) with small constants, so there is nothing to win by
+sharding them. Gradients use the same envelope shortcut as the
+single-device backend: the whole descent is detached, and the last
+extrapolation is differentiable through
+:func:`~geomloss_tpu.ops.block_sparse.softmin_extrapolation_sparse_dir`
+— whose detached-cost convention (gradient to the row cloud only) means
+no cross-device cotangents exist at all.
+
+Semantics match ``models/multiscale.py::sinkhorn_multiscale`` (same
+schedule, jump rule, truncation scores and per-eps re-thresholded
+counts; the only simplification is that the static tile-table *cap* is
+not re-sliced per temperature).
+"""
+
+import math
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..models.multiscale import (
+    TILE,
+    _scan_iterations,
+    default_cluster_scale,
+    jump_index,
+    spatial_sort_blocks,
+)
+from ..ops.block_sparse import (
+    _absorbed_sum,
+    masks_from_coarse,
+    retighten_counts,
+    softmin_extrapolation_sparse_dir,
+)
+from ..ops.softmin import softmin_points
+from ..solvers.annealing import dampening, scaling_parameters
+from ..solvers.sinkhorn_loop import log_weights, sinkhorn_cost
+from .ring import points_mesh
+
+__all__ = ["sinkhorn_multiscale_sharded"]
+
+
+def sinkhorn_multiscale_sharded(
+    a,
+    x,
+    b,
+    y,
+    mesh=None,
+    axis="points",
+    p=2,
+    blur=0.05,
+    reach=None,
+    diameter=None,
+    scaling=0.5,
+    truncate=5,
+    cluster_scale=None,
+    debias=True,
+    potentials=False,
+    tile="auto",
+    block_size="auto",
+    target_clusters=2048,
+    cap=None,
+    impl="auto",
+):
+    """Debiased multiscale Sinkhorn divergence with the truncated fine
+    phase sharded across a 1D device mesh.
+
+    Same arguments and semantics as
+    :func:`geomloss_tpu.models.multiscale.sinkhorn_multiscale`, plus
+    ``mesh`` / ``axis`` like :func:`geomloss_tpu.parallel.sinkhorn_ring`.
+    Any N, M: clouds are padded internally. Differentiable in ``x`` and
+    ``y`` (envelope gradient).
+
+    Returns the scalar divergence (replicated), or with
+    ``potentials=True`` the global ``(N,)`` / ``(M,)`` potential pair.
+    """
+    if mesh is None:
+        mesh = points_mesh(axis=axis)
+    R = mesh.devices.size
+
+    N, D = x.shape
+    M, _ = y.shape
+
+    diameter, eps, eps_list, rho = scaling_parameters(
+        x, y, p, blur, reach, diameter, scaling
+    )
+    if cluster_scale is None:
+        cluster_scale = default_cluster_scale(diameter, D)
+
+    if tile == "auto":
+        tile = TILE if max(N, M) <= (1 << 18) else 2 * TILE
+    if block_size == "auto":
+        block_size = 1
+        while (
+            block_size * 2 <= tile
+            and max(N, M) // (block_size * 2) >= target_clusters
+        ):
+            block_size *= 2
+
+    # Pad so the tile-row axis divides the mesh: spatial_sort_blocks pads
+    # to tile * 2^k slots, so requiring R * tile slots makes nI % R == 0
+    # for any power-of-two mesh size.
+    pad_multiple = tile * R
+
+    # --- Replicated prologue ------------------------------------------------
+    (aw_c, a_s), (x_c, x_s), perm_x = spatial_sort_blocks(
+        a, x, cluster_scale, diameter, block_size, pad_multiple=pad_multiple
+    )
+    (bw_c, b_s), (y_c, y_s), perm_y = spatial_sort_blocks(
+        b, y, cluster_scale, diameter, block_size, pad_multiple=pad_multiple
+    )
+
+    jump = jump_index(eps_list, cluster_scale, p)
+    if jump >= len(eps_list) - 1:
+        raise NotImplementedError(
+            "The annealing schedule never reaches the fine scale "
+            "(cluster_scale too small or blur too large): there is no fine "
+            "phase to shard. Use the single-device multiscale or online "
+            "backend for this configuration."
+        )
+
+    sg = lax.stop_gradient
+    dtype = x_s.dtype
+    a_log_c, b_log_c = log_weights(aw_c), log_weights(bw_c)
+    a_log_f, b_log_f = log_weights(a_s), log_weights(b_s)
+
+    sm = partial(softmin_points, p=p, impl=impl)
+    x_cd, y_cd = sg(x_c), sg(y_c)
+    x_sd, y_sd = sg(x_s), sg(y_s)
+
+    # Coarse phase on the block centroids (detached, replicated):
+    eps0 = eps_list[0]
+    damp0 = dampening(eps0, rho)
+    g_ab = damp0 * sm(eps0, (y_cd, x_cd), a_log_c)
+    f_ba = damp0 * sm(eps0, (x_cd, y_cd), b_log_c)
+    if debias:
+        f_aa = damp0 * sm(eps0, (x_cd, x_cd), a_log_c)
+        g_bb = damp0 * sm(eps0, (y_cd, y_cd), b_log_c)
+    else:
+        f_aa, g_bb = jnp.zeros_like(f_ba), jnp.zeros_like(g_ab)
+
+    coarse_fns = (
+        lambda e, h: sm(e, (x_cd, y_cd), h),
+        lambda e, h: sm(e, (y_cd, x_cd), h),
+        lambda e, h: sm(e, (x_cd, x_cd), h),
+        lambda e, h: sm(e, (y_cd, y_cd), h),
+    )
+    f_ba, g_ab, f_aa, g_bb = _scan_iterations(
+        coarse_fns,
+        (f_ba, g_ab, f_aa, g_bb),
+        eps_list[: jump + 1],
+        rho,
+        (a_log_c, b_log_c),
+        debias,
+        dtype,
+    )
+
+    eps_j = eps_list[jump]
+    damp_j = dampening(eps_j, rho)
+
+    # Extrapolation onto the fine clouds (detached, replicated):
+    f_ba_f = damp_j * sm(eps_j, (x_sd, y_cd), sg(b_log_c + g_ab / eps_j))
+    g_ab_f = damp_j * sm(eps_j, (y_sd, x_cd), sg(a_log_c + f_ba / eps_j))
+    if debias:
+        f_aa_f = damp_j * sm(eps_j, (x_sd, x_cd), sg(a_log_c + f_aa / eps_j))
+        g_bb_f = damp_j * sm(eps_j, (y_sd, y_cd), sg(b_log_c + g_bb / eps_j))
+    else:
+        f_aa_f, g_bb_f = jnp.zeros_like(f_ba_f), jnp.zeros_like(g_ab_f)
+
+    # Truncation masks from the coarse potentials (replicated; the
+    # per-row tables are then row-sharded):
+    bpt = tile // block_size
+    mask_xy = masks_from_coarse(
+        x_cd, y_cd, f_ba, g_ab, aw_c, bw_c, eps_j, p, truncate, bpt, cap=cap
+    )
+    if debias:
+        mask_xx = masks_from_coarse(
+            x_cd, x_cd, f_aa, f_aa, aw_c, aw_c, eps_j, p, truncate, bpt, cap=cap
+        )
+        mask_yy = masks_from_coarse(
+            y_cd, y_cd, g_bb, g_bb, bw_c, bw_c, eps_j, p, truncate, bpt, cap=cap
+        )
+    else:
+        mask_xx = mask_yy = jax.tree.map(lambda v: v[:0], mask_xy)
+
+    eps_fine = [float(e) for e in eps_list[jump + 1 :]]
+    eps_last = eps_list[-1]
+    damp_last = dampening(eps_last, rho)
+    d_last = truncate * (eps_last - eps_j)
+
+    eps_arr = jnp.asarray(eps_fine, dtype)
+    damp_arr = jnp.asarray([dampening(e, rho) for e in eps_fine], dtype)
+    delta_arr = jnp.asarray([truncate * (e - eps_j) for e in eps_fine], dtype)
+
+    # --- Sharded fine phase -------------------------------------------------
+    def fine(
+        x_l, y_l, x_f, y_f, al_l, bl_l, al_f, bl_f,
+        f_l, g_l, faa_l, gbb_l,
+        cols_l, counts_l, vals_l, colsT_l, countsT_l, valsT_l,
+        cxx_l, vxx_l, cyy_l, vyy_l,
+        a_l, b_l,
+    ):
+        x_fd, y_fd = sg(x_f), sg(y_f)
+        x_ld, y_ld = sg(x_l), sg(y_l)
+
+        def gather(v):
+            return lax.all_gather(v, axis, tiled=True)
+
+        def body(carry, inp):
+            e, damp, delta = inp
+            f_l, g_l, faa_l, gbb_l = carry
+            f_f, g_f = gather(f_l), gather(g_l)
+            cnt = jnp.minimum(retighten_counts(vals_l, delta), counts_l)
+            r = _absorbed_sum(
+                x_ld, y_fd, al_l + f_l / e, bl_f + g_f / e, e,
+                cols_l, cnt, p, tile,
+            )
+            S_xy = f_l + e * (al_l - jnp.log(r))
+            cntT = jnp.minimum(retighten_counts(valsT_l, delta), countsT_l)
+            c = _absorbed_sum(
+                y_ld, x_fd, bl_l + g_l / e, al_f + f_f / e, e,
+                colsT_l, cntT, p, tile,
+            )
+            S_yx = g_l + e * (bl_l - jnp.log(c))
+            f_n = 0.5 * (f_l + damp * S_xy)
+            g_n = 0.5 * (g_l + damp * S_yx)
+            if debias:
+                faa_f, gbb_f = gather(faa_l), gather(gbb_l)
+                cxx_cnt = retighten_counts(vxx_l, delta)
+                rxx = _absorbed_sum(
+                    x_ld, x_fd, al_l + faa_l / e, al_f + faa_f / e, e,
+                    cxx_l, cxx_cnt, p, tile,
+                )
+                S_xx = faa_l + e * (al_l - jnp.log(rxx))
+                cyy_cnt = retighten_counts(vyy_l, delta)
+                ryy = _absorbed_sum(
+                    y_ld, y_fd, bl_l + gbb_l / e, bl_f + gbb_f / e, e,
+                    cyy_l, cyy_cnt, p, tile,
+                )
+                S_yy = gbb_l + e * (bl_l - jnp.log(ryy))
+                faa_n = 0.5 * (faa_l + damp * S_xx)
+                gbb_n = 0.5 * (gbb_l + damp * S_yy)
+            else:
+                faa_n, gbb_n = faa_l, gbb_l
+            return (f_n, g_n, faa_n, gbb_n), None
+
+        (f_l, g_l, faa_l, gbb_l), _ = lax.scan(
+            body, (f_l, g_l, faa_l, gbb_l), (eps_arr, damp_arr, delta_arr)
+        )
+
+        # --- Differentiable last extrapolation (envelope gradient) --------
+        f_l, g_l = sg(f_l), sg(g_l)
+        f_f, g_f = gather(f_l), gather(g_l)
+        cnt = jnp.minimum(retighten_counts(vals_l, d_last), counts_l)
+        cntT = jnp.minimum(retighten_counts(valsT_l, d_last), countsT_l)
+        S_xy = softmin_extrapolation_sparse_dir(
+            x_l, y_fd, f_l, g_f, al_l, bl_f, eps_last, cols_l, cnt, p, tile
+        )
+        S_yx = softmin_extrapolation_sparse_dir(
+            y_l, x_fd, g_l, f_f, bl_l, al_f, eps_last, colsT_l, cntT, p, tile
+        )
+        f_ba = damp_last * S_xy
+        g_ab = damp_last * S_yx
+        if debias:
+            faa_l, gbb_l = sg(faa_l), sg(gbb_l)
+            faa_f, gbb_f = gather(faa_l), gather(gbb_l)
+            cxx_cnt = retighten_counts(vxx_l, d_last)
+            cyy_cnt = retighten_counts(vyy_l, d_last)
+            S_xx = softmin_extrapolation_sparse_dir(
+                x_l, x_fd, faa_l, faa_f, al_l, al_f, eps_last, cxx_l,
+                cxx_cnt, p, tile,
+            )
+            S_yy = softmin_extrapolation_sparse_dir(
+                y_l, y_fd, gbb_l, gbb_f, bl_l, bl_f, eps_last, cyy_l,
+                cyy_cnt, p, tile,
+            )
+            f_aa = damp_last * S_xx
+            g_bb = damp_last * S_yy
+        else:
+            f_aa = g_bb = None
+
+        # Zero-mass (padding) slots carry huge clamped potentials which
+        # overflow the unbalanced cost's exp(-f/rho) (0 * inf = NaN):
+        f_ba = jnp.where(a_l > 0, f_ba, 0.0)
+        g_ab = jnp.where(b_l > 0, g_ab, 0.0)
+        if debias:
+            f_aa = jnp.where(a_l > 0, f_aa, 0.0)
+            g_bb = jnp.where(b_l > 0, g_bb, 0.0)
+
+        if potentials:
+            return sinkhorn_cost(
+                eps, rho, a_l, b_l, f_aa, g_bb, g_ab, f_ba,
+                batch=False, debias=debias, potentials=True,
+            )
+        local = sinkhorn_cost(
+            eps, rho, a_l, b_l, f_aa, g_bb, g_ab, f_ba,
+            batch=False, debias=debias, potentials=False,
+        )
+        return lax.psum(local, axis)
+
+    sh1 = P(axis)
+    sh2 = P(axis, None)
+    rep1, rep2 = P(None), P(None, None)
+    in_specs = (
+        sh2, sh2, rep2, rep2,  # x_l, y_l, x_f, y_f
+        sh1, sh1, rep1, rep1,  # a_log shards + full
+        sh1, sh1, sh1, sh1,    # f, g, f_aa, g_bb
+        sh2, sh1, sh2, sh2, sh1, sh2,  # xy tables (cols, counts, vals) x2
+        sh2, sh2, sh2, sh2,    # xx / yy tables (cols, vals) x2
+        sh1, sh1,              # a_s, b_s shards
+    )
+    out_specs = (sh1, sh1) if potentials else P()
+
+    # check_vma=False: the pallas_call out_shapes inside carry no varying-
+    # mesh-axes annotation (they are shard-local by construction).
+    fn = jax.shard_map(
+        fine, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    out = fn(
+        x_s, y_s, x_s, y_s,
+        a_log_f, b_log_f, a_log_f, b_log_f,
+        f_ba_f, g_ab_f, f_aa_f, g_bb_f,
+        mask_xy.cols, mask_xy.counts, mask_xy.vals,
+        mask_xy.colsT, mask_xy.countsT, mask_xy.valsT,
+        mask_xx.cols, mask_xx.vals, mask_yy.cols, mask_yy.vals,
+        a_s, b_s,
+    )
+
+    if potentials:
+        F_s, G_s = out
+        f_out = jnp.zeros((N,), F_s.dtype).at[perm_x].set(F_s, mode="drop")
+        g_out = jnp.zeros((M,), G_s.dtype).at[perm_y].set(G_s, mode="drop")
+        return f_out, g_out
+    return out
