@@ -196,6 +196,35 @@ def spatial_sort_blocks(
     return (w, a_s), (cent, x_s), perm
 
 
+def fine_cap_schedule(eps_fine, eps_j, cap0):
+    """Group consecutive fine temperatures sharing a static tile-table cap.
+
+    Sparse-grid steps cost ~1 us each *even when compute-gated*, so the
+    static ``cap`` must track the true kept counts: the keep radius is
+    ``~ sqrt(truncate * eps)`` and kept-tile counts shrink at least
+    linearly in eps on <= 2-dim data (the reference's multiscale domain),
+    so the cap scales as ``cap0 * eps / eps_jump`` (floored at 24 for the
+    tile-radius slack that dominates at small N; overflow degrades to
+    best-score top-k, like the build cap).
+
+    Returns:
+        List of ``(cap, [eps, ...])`` groups in descent order.
+    """
+
+    def cap_for(e):
+        raw = int(np.ceil(cap0 * (e / eps_j)))
+        return min(cap0, max(24, -(-raw // 8) * 8))  # multiple of 8
+
+    groups = []
+    for e in eps_fine:
+        ck = cap_for(e)
+        if groups and groups[-1][0] == ck:
+            groups[-1][1].append(e)
+        else:
+            groups.append((ck, [e]))
+    return groups
+
+
 def _scan_iterations(
     softmin_fns, carry, eps_seg, rho, h_builders, debias, dtype, fused=None,
     fused_xs=None,
@@ -418,16 +447,6 @@ def sinkhorn_multiscale(
             eps_fine = list(eps_list[jump + 1:])
             cap0 = mask_xy.cols.shape[1]
 
-            def cap_for(e):
-                # Keep radius ~ sqrt(truncate*eps) + tile slack: kept-tile
-                # counts shrink at least linearly in eps on <=2-dim data
-                # (the reference's multiscale domain, p=2 shape processing);
-                # the floor of 32 absorbs the tile-radius slack that
-                # dominates at small N. Overflow degrades to best-score
-                # top-k, like the build cap.
-                raw = int(np.ceil(cap0 * (e / eps_j)))
-                return min(cap0, max(24, -(-raw // 8) * 8))  # multiple of 8
-
             def sliced(mask, ck, d):
                 cnt = jnp.minimum(retighten_counts(mask.vals, d), ck)
                 cntT = jnp.minimum(retighten_counts(mask.valsT, d), ck)
@@ -438,13 +457,7 @@ def sinkhorn_multiscale(
 
             # Group consecutive fine iterations sharing a static cap; each
             # group runs as one scan over its (eps, damp, counts) stack.
-            groups = []
-            for e in eps_fine:
-                ck = cap_for(e)
-                if groups and groups[-1][0] == ck:
-                    groups[-1][1].append(e)
-                else:
-                    groups.append((ck, [e]))
+            groups = fine_cap_schedule(eps_fine, eps_j, cap0)
 
             def run_fine_groups(carry):
                 for ck, es in groups:
