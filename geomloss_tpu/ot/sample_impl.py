@@ -638,7 +638,8 @@ def barycenter_sample(
         z = jnp.einsum("bk,bknd->bnd", weights, xa)
     else:
         z = jnp.asarray(init, dtype)
-        z = z[None] if z.ndim == 2 else z
+        if z.ndim == 2:
+            z = jnp.broadcast_to(z[None], (B,) + z.shape)
     M = z.shape[1]
     m = jnp.full((B, M), 1.0 / M, dtype=dtype)
 

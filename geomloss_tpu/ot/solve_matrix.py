@@ -343,21 +343,31 @@ def _barycenter_iteration(f_k, g_k, log_d, eps, C, Ct, C_bb, log_a, w_k):
     C ``(B, K, N, M)``, Ct its transpose, C_bb ``(B, M, M)`` or ``None``
     (debiasing off: log_d stays the uniform reference measure).
     """
+    import jax
+
     w = w_k[:, :, None]  # (B, K, 1)
 
-    # Pseudo-step — from the measures to the barycenter:
-    ft_k = _softmin_bk(eps, Ct, log_a + g_k / eps) / eps  # (B, K, M)
-    log_bar = log_d - (ft_k * w).sum(1)  # (B, M)
+    def normalize(log_bar):
+        # Without the debiasing density, the dual gauge (a free additive
+        # constant in the potentials) leaves the barycenter mass
+        # unnormalized: pin it to the simplex. With debiasing, log_d
+        # absorbs the constant and the reference's update is kept as-is.
+        if C_bb is not None:
+            return log_bar
+        return log_bar - jax.nn.logsumexp(log_bar, axis=-1, keepdims=True)
 
-    # Symmetric Sinkhorn updates:
-    ft_k = _softmin_bk(eps, Ct, log_a + g_k / eps)
+    # Pseudo-step — from the measures to the barycenter:
+    ft_k = _softmin_bk(eps, Ct, log_a + g_k / eps)  # (B, K, M)
+    log_bar = normalize(log_d - (ft_k / eps * w).sum(1))  # (B, M)
+
+    # Symmetric Sinkhorn updates (ft_k is the same softmin as above):
     gt_k = _softmin_bk(eps, C, log_bar[:, None, :] + f_k / eps)
     f_k = (f_k + ft_k) / 2
     g_k = (g_k + gt_k) / 2
 
     # Pseudo-step with the updated potentials:
-    ft_k = _softmin_bk(eps, Ct, log_a + g_k / eps) / eps
-    log_bar = log_d - (ft_k * w).sum(1)
+    ft_k = _softmin_bk(eps, Ct, log_a + g_k / eps)
+    log_bar = normalize(log_d - (ft_k / eps * w).sum(1))
 
     # Update the de-biasing measure (Janati et al.'s correction):
     if C_bb is not None:
@@ -406,6 +416,9 @@ def barycenter(
         backward_iterations: trailing iterations re-executed with
             autodiff enabled (the envelope shortcut; everything before is
             detached), so gradients flow to ``cost``, ``a``, ``weights``.
+            ``0`` differentiates through the whole annealed descent
+            instead, like the reference's ``ImagesBarycenter``
+            (``wasserstein_barycenter_images.py:44``).
         maxmin_cost: optional static bound on ``max(cost) - min(cost)``
             (the annealing start temperature). Required under ``jax.jit``,
             where the data-dependent default cannot be evaluated — same
@@ -460,16 +473,24 @@ def barycenter(
         a = jnp.full((B, K, N), 1.0 / N, dtype=cost.dtype)
     else:
         a = jnp.asarray(a, cost.dtype)
-        a = a.reshape((B, K, N)) if a.size == B * K * N else None
-        if a is None:
+        if a.shape == (N,):
+            a = jnp.broadcast_to(a, (B, K, N))
+        elif a.shape == (K, N):
+            a = jnp.broadcast_to(a, (B, K, N))
+        elif a.shape != (B, K, N):
             raise ValueError(
                 "The masses 'a' should have shape (N,), (K, N) or (B, K, N) "
-                "matching the cost matrices."
+                f"matching the ({B}, {K}, {N}, {M}) cost matrices; received "
+                f"{tuple(a.shape)}."
             )
+        # Probability measures (the balanced-Sinkhorn derivation assumes
+        # mass 1, like barycenter_sample):
+        a = a / a.sum(axis=-1, keepdims=True)
     if weights is None:
         weights = jnp.full((B, K), 1.0 / K, dtype=cost.dtype)
     else:
-        weights = jnp.asarray(weights, cost.dtype).reshape((B, K))
+        weights = jnp.asarray(weights, cost.dtype)
+        weights = jnp.broadcast_to(weights.reshape((-1, K)), (B, K))
         weights = weights / weights.sum(axis=1, keepdims=True)
 
     if cost_bar is not None:
@@ -499,9 +520,17 @@ def barycenter(
     Ct = jnp.swapaxes(cost, 2, 3)  # (B, K, M, N)
     log_a = stable_log(a)
 
-    # --- No-grad annealed descent (envelope shortcut) -----------------------
-    cost_d, Ct_d, log_a_d, w_d = sg(cost), sg(Ct), sg(log_a), sg(weights)
-    C_bb_d = None if cost_bar is None else sg(cost_bar)
+    # --- Annealed descent ----------------------------------------------------
+    # backward_iterations > 0: run detached (envelope shortcut), then a
+    # differentiable tail. backward_iterations == 0: like the reference's
+    # ImagesBarycenter (`wasserstein_barycenter_images.py:44`), gradients
+    # flow through the *whole* descent instead.
+    detach = backward_iterations > 0
+    wrap = sg if detach else (lambda v: v)
+    cost_d, Ct_d, log_a_d, w_d = (
+        wrap(cost), wrap(Ct), wrap(log_a), wrap(weights)
+    )
+    C_bb_d = None if cost_bar is None else wrap(cost_bar)
 
     eps0 = eps_list[0]
     f_k = _softmin_bk(eps0, Ct_d, log_a_d)  # (B, K, M)
@@ -519,14 +548,26 @@ def barycenter(
         body, (f_k, g_k, log_d), jnp.asarray(eps_list, cost.dtype)
     )
 
-    # --- Differentiable tail at the target temperature ----------------------
+    # --- Tail at the target temperature --------------------------------------
     eps = eps_list[-1]
-    f_k, g_k, log_d = sg(f_k), sg(g_k), sg(log_d)
-    log_bar = None
-    for _ in range(max(backward_iterations, 1)):
-        f_k, g_k, log_d, log_bar = _barycenter_iteration(
-            f_k, g_k, log_d, eps, cost, Ct, cost_bar, log_a, weights
-        )
+    if detach:
+        f_k, g_k, log_d = sg(f_k), sg(g_k), sg(log_d)
+        log_bar = None
+        for _ in range(backward_iterations):
+            f_k, g_k, log_d, log_bar = _barycenter_iteration(
+                f_k, g_k, log_d, eps, cost, Ct, cost_bar, log_a, weights
+            )
+    else:
+        # Extract the barycenter from the (fully differentiable) final
+        # state with one pseudo-step:
+        import jax
+
+        ft_k = _softmin_bk(eps, Ct_d, log_a_d + g_k / eps)
+        log_bar = log_d - (ft_k / eps * weights[:, :, None]).sum(1)
+        if cost_bar is None:
+            log_bar = log_bar - jax.nn.logsumexp(
+                log_bar, axis=-1, keepdims=True
+            )
 
     masses = jnp.exp(log_bar)
     if not batched:

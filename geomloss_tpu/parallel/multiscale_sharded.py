@@ -32,10 +32,7 @@ and static cap slicing), and so does single-chip performance: 1.17 s
 loss+grad at N=1e6 on a mesh of one — multi-chip is pure scale-out.
 """
 
-import math
 from functools import partial
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -82,7 +79,7 @@ def sinkhorn_multiscale_sharded(
     potentials=False,
     tile="auto",
     block_size="auto",
-    target_clusters=2048,
+    target_clusters=2000,
     cap=None,
     impl="auto",
 ):
@@ -101,6 +98,13 @@ def sinkhorn_multiscale_sharded(
     if mesh is None:
         mesh = points_mesh(axis=axis)
     R = mesh.devices.size
+
+    if truncate is None:
+        raise NotImplementedError(
+            "The sharded fine phase is built on the truncated tile tables; "
+            "truncate=None (exact fine sweeps) is only available on the "
+            "single-device multiscale backend or via sinkhorn_ring."
+        )
 
     N, D = x.shape
     M, _ = y.shape
@@ -127,6 +131,11 @@ def sinkhorn_multiscale_sharded(
     pad_multiple = tile * R
 
     # --- Replicated prologue ------------------------------------------------
+    # N.B.: the sort / coarse-solve / extrapolation / mask sequence below
+    # mirrors models/multiscale.py::sinkhorn_multiscale (minus its labels
+    # and jump-on-last-iteration handling) — keep the two in sync when
+    # touching either. The parity tests in tests/test_multiscale_sharded.py
+    # pin their agreement.
     (aw_c, a_s), (x_c, x_s), perm_x = spatial_sort_blocks(
         a, x, cluster_scale, diameter, block_size, pad_multiple=pad_multiple
     )

@@ -196,3 +196,52 @@ def test_barycenter_jit_with_static_maxmin():
         jnp.stack([jnp.eye(5)[0] + 0.1, jnp.eye(5)[4] + 0.1])
     )
     assert bool(jnp.isfinite(g).all())
+
+
+def test_barycenter_broadcast_forms():
+    """(N,) masses and (K,) weights broadcast against batched costs, as
+    the docstring promises."""
+    C = _grid_cost(5)
+    cost = jnp.broadcast_to(C, (2, 2, 5, 5))
+    a = jnp.asarray([0.1, 0.2, 0.4, 0.2, 0.1])
+    res = ot.barycenter(cost, a=a, weights=jnp.array([0.5, 0.5]),
+                        reg=1e-2, max_iter=20)
+    assert res.masses.shape == (2, 5)
+    # Unnormalized masses are normalized internally:
+    res2 = ot.barycenter(cost, a=100.0 * a, weights=jnp.array([2.0, 2.0]),
+                         reg=1e-2, max_iter=20)
+    np.testing.assert_allclose(
+        np.asarray(res2.masses), np.asarray(res.masses), rtol=1e-6
+    )
+
+
+def test_barycenter_backward_iterations_zero():
+    """backward_iterations=0 differentiates through the whole descent
+    (reference ImagesBarycenter semantics)."""
+    C = _grid_cost(5)
+
+    def f(a1):
+        a = jnp.stack([a1 / a1.sum(), jnp.full((5,), 0.2)])
+        res = ot.barycenter(
+            jnp.stack([C, C]), a=a, reg=1e-2, max_iter=20,
+            backward_iterations=0,
+        )
+        return jnp.sum(res.masses ** 2)
+
+    v = f(jnp.asarray([0.1, 0.2, 0.4, 0.2, 0.1]))
+    g = jax.grad(f)(jnp.asarray([0.1, 0.2, 0.4, 0.2, 0.1]))
+    assert np.isfinite(float(v))
+    # Non-debiased barycenters are gauge-fixed onto the simplex:
+    res = ot.barycenter(jnp.stack([C, C]), reg=1e-2, max_iter=20,
+                        backward_iterations=0)
+    np.testing.assert_allclose(float(res.masses.sum()), 1.0, rtol=1e-6)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_barycenter_sample_batched_init_broadcast():
+    rng = np.random.RandomState(7)
+    xb = jnp.asarray(rng.randn(2, 2, 16, 2).astype(np.float32))
+    init = jnp.asarray(rng.randn(16, 2).astype(np.float32))
+    res = ot.barycenter_sample(xb, blur=0.1, n_iter=1, init=init)
+    assert res.samples.shape == (2, 16, 2)
