@@ -321,9 +321,14 @@ def sinkhorn_multiscale(
         cluster_scale = default_cluster_scale(diameter, D)
 
     if tile == "auto":
-        # Bigger kernel tiles at large N keep the truncation tables within
-        # the SMEM budget and amortize per-tile overheads:
-        tile = TILE if max(N, M) <= (1 << 18) else 2 * TILE
+        # The cols tables are scalar-prefetch operands whose minor axis is
+        # padded to 128 lanes in SMEM: each table costs nI * 512 bytes
+        # *regardless of cap*, against a ~1 MB per-kernel budget. Keep the
+        # tile-row count <= 1536 (measured OOM at nI = 2048):
+        tile = TILE
+        npad = 1 << max(int(np.ceil(np.log2(max(N, M, 2)))), 0)
+        while npad // tile > 1536:
+            tile *= 2
 
     if block_size == "auto":
         # Largest power-of-two divisor of the tile that keeps >= target_clusters

@@ -230,9 +230,11 @@ def masks_from_coarse(
         # Generous: masked grid steps are nearly free (frozen block index,
         # see ``_col``), so clipping real neighbors is the only real risk.
         cap = max(32, nJ // 8)
-    # The cols array is a scalar-prefetch operand living in SMEM (1 MB):
-    # clamp so each direction stays under ~400 KB.
-    cap = min(cap, max(8, 400_000 // (4 * max(nI, nJ))))
+    # The cols arrays are scalar-prefetch operands living in SMEM (~1 MB
+    # per kernel), padded to 128 lanes on the minor axis: any cap <= 128
+    # costs the same nI * 512 bytes (the tile="auto" rule keeps nI within
+    # budget); beyond 128 lanes the true size counts.
+    cap = min(cap, max(8, 225_000 // max(nI, nJ)))
     cols, counts, vals = _cols_from_score(score_t, cap)
     colsT, countsT, valsT = _cols_from_score(score_t.T, cap)
     return TileMask(
@@ -248,7 +250,7 @@ def masks_from_coarse(
 
 def _lse_sparse_kernel(
     cols_ref, counts_ref, eps_ref, xhT_ref, yhT_ref, h_ref, sqx_ref, sqy_ref,
-    o_ref, m_ref, s_ref, *, p,
+    o_ref, m_ref, s_ref, *, p, s=1,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -260,7 +262,7 @@ def _lse_sparse_kernel(
 
     i = pl.program_id(0)
 
-    @pl.when(j < counts_ref[i])
+    @pl.when(j < counts_ref[i // s])
     def _compute():
         c2 = LOG2E / eps_ref[0]
         h2 = h_ref[:]  # base-2 units; p=2 also folds the column quadratic
@@ -309,34 +311,39 @@ def lse_sparse(x, y, h, eps, cols, counts, p=2, block_n=256, block_m=512):
     sqy = ((y32**2).sum(-1))[None, :]
     eps_arr = eps32.reshape(1)
 
+    # Row subdivision (see _absorbed_sum): SMEM tables stay at tile
+    # granularity while VMEM blocks stay bounded.
+    bn = min(block_n, max(128, (1024 * 2048) // block_m))
+    s = block_n // bn
+
     K = xhT.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # cols, counts, eps
-        grid=(nI, cap),
+        grid=(nI * s, cap),
         in_specs=[
-            pl.BlockSpec((K, block_n), lambda i, j, cols, counts, eps: (0, i)),
+            pl.BlockSpec((K, bn), lambda i, j, cols, counts, eps: (0, i)),
             pl.BlockSpec(
-                (K, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i, j))
+                (K, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i // s, j))
             ),
             pl.BlockSpec(
-                (1, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i, j))
+                (1, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i // s, j))
             ),
-            pl.BlockSpec((block_n, 1), lambda i, j, cols, counts, eps: (i, 0)),
+            pl.BlockSpec((bn, 1), lambda i, j, cols, counts, eps: (i, 0)),
             pl.BlockSpec(
-                (1, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i, j))
+                (1, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i // s, j))
             ),
         ],
         out_specs=pl.BlockSpec(
-            (block_n, 1), lambda i, j, cols, counts, eps: (i, 0)
+            (bn, 1), lambda i, j, cols, counts, eps: (i, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_n, 1), f32),
-            pltpu.VMEM((block_n, 1), f32),
+            pltpu.VMEM((bn, 1), f32),
+            pltpu.VMEM((bn, 1), f32),
         ],
     )
 
     out = pl.pallas_call(
-        functools.partial(_lse_sparse_kernel, p=p),
+        functools.partial(_lse_sparse_kernel, p=p, s=s),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, 1), f32),
         interpret=_interpret(),
@@ -355,7 +362,7 @@ def lse_sparse(x, y, h, eps, cols, counts, p=2, block_n=256, block_m=512):
 
 def _apply_sparse_kernel(
     cols_ref, counts_ref, eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref,
-    sqx_ref, sqy_ref, VT_ref, o_ref, acc_ref, *, p, kind,
+    sqx_ref, sqy_ref, VT_ref, o_ref, acc_ref, *, p, kind, s=1,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -366,7 +373,7 @@ def _apply_sparse_kernel(
 
     i = pl.program_id(0)
 
-    @pl.when(j < counts_ref[i])
+    @pl.when(j < counts_ref[i // s])
     def _compute():
         c2 = LOG2E / eps_ref[0]
         scores = _scores_dot(xhT_ref[:], yhT_ref[:])
@@ -460,25 +467,34 @@ def gibbs_apply_sparse(
         VT = jnp.concatenate([VT1, VT - VT1], axis=0)  # (2 C, M)
     eps_arr = eps32.reshape(1)
 
+    # Row subdivision: large logical tiles share one cols row across s
+    # row sub-blocks, keeping the SMEM tables at tile granularity while
+    # the VMEM-resident (bn, block_m) weight block (plus its two
+    # bf16-split summands when C > 1) stays within the ~16 MB budget —
+    # scale bn inversely with the column width:
+    target = (1024 * 2048) if C == 1 else (512 * 2048)
+    bn = min(block_n, max(128, target // block_m))
+    s = block_n // bn
+
     K = xhT.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nI, cap),
+        grid=(nI * s, cap),
         in_specs=[
-            pl.BlockSpec((K, block_n), lambda i, j, c, n, e: (0, i)),
-            pl.BlockSpec((K, block_m), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
-            pl.BlockSpec((block_n, 1), lambda i, j, c, n, e: (i, 0)),
-            pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
-            pl.BlockSpec((block_n, 1), lambda i, j, c, n, e: (i, 0)),
-            pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
-            pl.BlockSpec((VT.shape[0], block_m), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
+            pl.BlockSpec((K, bn), lambda i, j, c, n, e: (0, i)),
+            pl.BlockSpec((K, block_m), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
+            pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
+            pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
+            pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
+            pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
+            pl.BlockSpec((VT.shape[0], block_m), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
         ],
-        out_specs=pl.BlockSpec((block_n, C), lambda i, j, c, n, e: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((block_n, C), f32)],
+        out_specs=pl.BlockSpec((bn, C), lambda i, j, c, n, e: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((bn, C), f32)],
     )
 
     out = pl.pallas_call(
-        functools.partial(_apply_sparse_kernel, p=p, kind=kind),
+        functools.partial(_apply_sparse_kernel, p=p, kind=kind, s=s),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, C), f32),
         interpret=_interpret(),
@@ -503,7 +519,7 @@ _SUM_FLOOR = 1e-37
 
 def _row_sum_sparse_kernel(
     cols_ref, counts_ref, eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref,
-    sqx_ref, sqy_ref, o_ref, acc_ref, *, p,
+    sqx_ref, sqy_ref, o_ref, acc_ref, *, p, s=1,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -514,7 +530,7 @@ def _row_sum_sparse_kernel(
 
     i = pl.program_id(0)
 
-    @pl.when(j < counts_ref[i])
+    @pl.when(j < counts_ref[i // s])
     def _compute():
         c2 = LOG2E / eps_ref[0]
         scores = _scores_dot(xhT_ref[:], yhT_ref[:])
@@ -537,11 +553,20 @@ def _row_sum_sparse_kernel(
 def _absorbed_sum(x, y, phi, psi, eps, cols, counts, p, block):
     """Single-pass ``r_i = sum_j exp(phi_i + psi_j - C_ij/eps)`` over the
     kept tiles (biases in natural-log units; quadratic folding as in
-    :func:`gibbs_apply_sparse`)."""
+    :func:`gibbs_apply_sparse`).
+
+    Large logical tiles are subdivided along rows (``s`` row sub-blocks
+    sharing one ``cols`` row): the SMEM tables stay at tile granularity
+    while the VMEM-resident score block stays within budget.
+    """
     N, D = x.shape
     M, _ = y.shape
     assert N % block == 0 and M % block == 0
     nI, cap = cols.shape
+    # (bn, block) scores + W must fit in ~16 MB VMEM: scale the row
+    # sub-block inversely with the column width.
+    bn = min(block, max(128, (1024 * 2048) // block))
+    s = block // bn
 
     f32 = jnp.float32
     x32, y32 = x.astype(f32), y.astype(f32)
@@ -561,20 +586,20 @@ def _absorbed_sum(x, y, phi, psi, eps, cols, counts, p, block):
     K = xhT.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nI, cap),
+        grid=(nI * s, cap),
         in_specs=[
-            pl.BlockSpec((K, block), lambda i, j, c, n, e: (0, i)),
-            pl.BlockSpec((K, block), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
-            pl.BlockSpec((block, 1), lambda i, j, c, n, e: (i, 0)),
-            pl.BlockSpec((1, block), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
-            pl.BlockSpec((block, 1), lambda i, j, c, n, e: (i, 0)),
-            pl.BlockSpec((1, block), lambda i, j, c, n, e: (0, _col(c, n, i, j))),
+            pl.BlockSpec((K, bn), lambda i, j, c, n, e: (0, i)),
+            pl.BlockSpec((K, block), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
+            pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
+            pl.BlockSpec((1, block), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
+            pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
+            pl.BlockSpec((1, block), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
         ],
-        out_specs=pl.BlockSpec((block, 1), lambda i, j, c, n, e: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((block, 1), f32)],
+        out_specs=pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((bn, 1), f32)],
     )
     r = pl.pallas_call(
-        functools.partial(_row_sum_sparse_kernel, p=p),
+        functools.partial(_row_sum_sparse_kernel, p=p, s=s),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, 1), f32),
         interpret=_interpret(),

@@ -116,7 +116,15 @@ def sinkhorn_multiscale_sharded(
         cluster_scale = default_cluster_scale(diameter, D)
 
     if tile == "auto":
-        tile = TILE if max(N, M) <= (1 << 18) else 2 * TILE
+        # Same rule as the single-device backend (SMEM table budget:
+        # tables pad their minor axis to 128 lanes, so only the row count
+        # matters — keep it <= 1536):
+        import numpy as np
+
+        tile = TILE
+        npad = 1 << max(int(np.ceil(np.log2(max(N, M, 2)))), 0)
+        while npad // tile > 1536:
+            tile *= 2
     if block_size == "auto":
         block_size = 1
         while (
