@@ -82,7 +82,7 @@ def main():
     run_config(
         "sinkhorn_multiscale_blur.05",
         sinkhorn_step("multiscale"),
-        [10_000, 100_000, 1_000_000],
+        [10_000, 100_000, 1_000_000, 4_000_000],
     )
     run_config(
         "sinkhorn_online_blur.05", sinkhorn_step("online"), [10_000, 100_000]

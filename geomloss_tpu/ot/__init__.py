@@ -3,8 +3,12 @@
 Mirrors the reference's ``geomloss.ot`` module
 (``/root/reference/src/geomloss/ot/__init__.py``): ``solve`` /
 ``solve_batch`` on explicit cost matrices, ``solve_sample`` on point
-clouds, ``solve_grid`` on images/volumes, and the lazily-cached
-``OTResult`` family with ``LinearOperator`` plans.
+clouds, ``solve_grid`` on images/volumes (incl. the documented ``axes``
+/ ``periodic`` geometry, implemented here), the Wasserstein barycenter
+solvers ``barycenter`` (fixed support) / ``barycenter_sample`` (free
+support) / ``barycenter_grid`` — all three non-functional stubs
+upstream — and the lazily-cached ``OTResult`` family with
+``LinearOperator`` plans.
 """
 
 from .result import LinearOperator, OTResult
