@@ -213,7 +213,7 @@ def kernel_multiscale(
     from functools import partial
 
     from ..ops.block_sparse import kernel_matvec_sparse, masks_from_geometry
-    from ..models.multiscale import TILE, spatial_sort_blocks
+    from ..models.multiscale import auto_tile, spatial_sort_blocks
 
     sg = lax.stop_gradient
     N, D = x.shape
@@ -230,14 +230,17 @@ def kernel_multiscale(
         - jnp.minimum(sg(x).min(0), sg(y).min(0))
     )
 
-    (_, a_s), (_, x_s), perm_x = spatial_sort_blocks(a, x, None, ext, TILE, TILE)
-    (_, b_s), (_, y_s), perm_y = spatial_sort_blocks(b, y, None, ext, TILE, TILE)
+    # Adaptive tile: the SMEM truncation tables allow <= 1536 tile rows
+    # (see models/multiscale.py::auto_tile).
+    tile = auto_tile(max(N, M))
+    (_, a_s), (_, x_s), perm_x = spatial_sort_blocks(a, x, None, ext, tile, tile)
+    (_, b_s), (_, y_s), perm_y = spatial_sort_blocks(b, y, None, ext, tile, tile)
 
     x_sd, y_sd = sg(x_s), sg(y_s)
     aw, bw = sg(a_s), sg(b_s)
-    mask_xy = masks_from_geometry(x_sd, y_sd, radius, TILE, w_x=aw, w_y=bw)
-    mask_xx = masks_from_geometry(x_sd, x_sd, radius, TILE, w_x=aw, w_y=aw)
-    mask_yy = masks_from_geometry(y_sd, y_sd, radius, TILE, w_x=bw, w_y=bw)
+    mask_xy = masks_from_geometry(x_sd, y_sd, radius, tile, w_x=aw, w_y=bw)
+    mask_xx = masks_from_geometry(x_sd, x_sd, radius, tile, w_x=aw, w_y=aw)
+    mask_yy = masks_from_geometry(y_sd, y_sd, radius, tile, w_x=bw, w_y=bw)
 
     if verbose:
         print(
@@ -245,7 +248,7 @@ def kernel_multiscale(
             f"{float(mask_xy.counts.mean()):.1f} neighbours (radius {radius:.3f})."
         )
 
-    mv = partial(kernel_matvec_sparse, p=p, block=TILE)
+    mv = partial(kernel_matvec_sparse, p=p, block=tile)
     a_x = mv(double_grad(x_s), sg(x_s), sg(a_s), eps, mask_xx)
     b_y = mv(double_grad(y_s), sg(y_s), sg(b_s), eps, mask_yy)
     b_x = mv(x_s, y_s, b_s, eps, mask_xy)

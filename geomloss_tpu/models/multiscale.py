@@ -196,6 +196,23 @@ def spatial_sort_blocks(
     return (w, a_s), (cent, x_s), perm
 
 
+def auto_tile(n_max):
+    """Kernel-tile side for an ``n_max``-point problem.
+
+    The cols truncation tables are scalar-prefetch operands whose minor
+    axis is padded to 128 lanes in SMEM: each table costs
+    ``rows * 512`` bytes against a ~1 MB per-kernel budget *regardless of
+    cap*. Grow the tile to keep the row count <= 1536 (measured OOM at
+    2048 rows); the sparse kernels subdivide rows internally so VMEM
+    stays bounded.
+    """
+    tile = TILE
+    npad = 1 << max(int(np.ceil(np.log2(max(n_max, 2)))), 0)
+    while npad // tile > 1536:
+        tile *= 2
+    return tile
+
+
 def fine_cap_schedule(eps_fine, eps_j, cap0):
     """Group consecutive fine temperatures sharing a static tile-table cap.
 
@@ -321,14 +338,7 @@ def sinkhorn_multiscale(
         cluster_scale = default_cluster_scale(diameter, D)
 
     if tile == "auto":
-        # The cols tables are scalar-prefetch operands whose minor axis is
-        # padded to 128 lanes in SMEM: each table costs nI * 512 bytes
-        # *regardless of cap*, against a ~1 MB per-kernel budget. Keep the
-        # tile-row count <= 1536 (measured OOM at nI = 2048):
-        tile = TILE
-        npad = 1 << max(int(np.ceil(np.log2(max(N, M, 2)))), 0)
-        while npad // tile > 1536:
-            tile *= 2
+        tile = auto_tile(max(N, M))
 
     if block_size == "auto":
         # Largest power-of-two divisor of the tile that keeps >= target_clusters

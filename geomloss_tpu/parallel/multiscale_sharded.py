@@ -42,6 +42,7 @@ from jax.sharding import PartitionSpec as P
 from ..models.multiscale import (
     TILE,
     _scan_iterations,
+    auto_tile,
     default_cluster_scale,
     fine_cap_schedule,
     jump_index,
@@ -116,15 +117,7 @@ def sinkhorn_multiscale_sharded(
         cluster_scale = default_cluster_scale(diameter, D)
 
     if tile == "auto":
-        # Same rule as the single-device backend (SMEM table budget:
-        # tables pad their minor axis to 128 lanes, so only the row count
-        # matters — keep it <= 1536):
-        import numpy as np
-
-        tile = TILE
-        npad = 1 << max(int(np.ceil(np.log2(max(N, M, 2)))), 0)
-        while npad // tile > 1536:
-            tile *= 2
+        tile = auto_tile(max(N, M))
     if block_size == "auto":
         block_size = 1
         while (
