@@ -5,6 +5,13 @@ Re-implementation of ``/root/reference/src/geomloss/_arguments.py`` and
 reference's numpy/torch/keops dispatch collapses, but the user-facing
 checks (shapes, non-negativity, balanced-mass feasibility, supported
 regularizations) are kept verbatim.
+
+.. note:: **Deliberate text reuse.** The *error-message strings* in this
+   module are copied character-for-character from the reference: they are
+   part of the user-visible API contract (scripts and tests match on
+   them), and paraphrasing them would be gratuitous drift. The
+   surrounding code (dispatch, conversions, NamedTuples) is ours. This is
+   the only module where literal reuse is policy.
 """
 
 from functools import wraps
