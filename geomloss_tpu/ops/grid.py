@@ -43,7 +43,7 @@ def log_dens(a):
     """log(a) with zero/negative densities clamped to -10000
     (reference ``utils.py:105-108`` — N.B. the grid clamp differs from the
     -100000 used for point clouds)."""
-    return jnp.where(a > 0, jnp.log(jnp.maximum(a, 1e-45)), -10000.0)
+    return jnp.where(a > 0, jnp.log(jnp.maximum(a, 1e-30)), -10000.0)  # 1e-30 floor: TPU flushes subnormals, 0*inf grad = NaN
 
 
 def _sum_pool2(a, D):
@@ -80,16 +80,10 @@ def upsample(a, D=None):
 
 
 def _axis_kernel_log(N, eps, p, dtype):
-    """Log of the 1D Gibbs kernel on the unit interval: K_log[i,j] =
-    -(x_i - x_j)^2 / (2 eps) for p=2 or -|x_i - x_j| / eps for p=1,
-    with x = arange(N)/N (reference ``utils.py:235-242``)."""
-    x = jnp.arange(N, dtype=dtype) / N
-    diff = x[:, None] - x[None, :]
-    if p == 2:
-        return -(diff**2) / (2 * eps)
-    elif p == 1:
-        return -jnp.abs(diff) / eps
-    raise NotImplementedError(f"p={p} is not supported on grids.")
+    """Log of the 1D Gibbs kernel on the unit interval with
+    ``x = arange(N)/N`` (reference ``utils.py:235-242``) — the unit-cube
+    special case of :func:`axis_kernel_log`."""
+    return axis_kernel_log(jnp.arange(N, dtype=dtype) / N, eps, p)
 
 
 def _lse_axis(A, K_log):

@@ -572,11 +572,15 @@ def _gibbs_weights(scores, phi, psi, sqx, sqy, eps, *, p, kind):
         return jnp.exp2(phi + (psi + scores * c2))
     sq = sqx + sqy - 2.0 * scores
     # f32 noise floor of the expansion form: see _lse_kernel.
-    d = jnp.where(sq > 2e-6 * (sqx + sqy), jnp.sqrt(jnp.maximum(sq, 1e-8)), 0.0)
+    d_safe = jnp.sqrt(jnp.maximum(sq, 1e-8))
+    d = jnp.where(sq > 2e-6 * (sqx + sqy), d_safe, 0.0)
     w = jnp.exp2(phi + (psi - d * c2))
     if kind == "gibbs_grad":
         # Zero below the f32 noise floor (ops/softmin.py::GRAD_SQDIST_CUT).
-        w = jnp.where(sq > 1e-6, w / d, 0.0)
+        # Divide by the *un-zeroed* distance: in the sliver where
+        # 1e-6 < sq <= 2e-6 * (sqx + sqy) the floored d is 0 and w/d
+        # would select inf (matches ops/block_sparse.py:384-396).
+        w = jnp.where(sq > 1e-6, w / d_safe, 0.0)
     return w
 
 

@@ -51,8 +51,18 @@ def _log_apply(eps, p, log_v, g_over_eps, D, coords=None, periods=None):
 
 def _parse_axes(axes, periodic, grid_shape, dtype):
     """Normalize the documented ``axes`` / ``periodic`` forms into per-axis
-    coordinate arrays and periods (reference docstring,
-    ``ot/_implementations/grid.py:224-236``)."""
+    coordinate arrays, periods, maximum distances and pixel widths
+    (reference docstring, ``ot/_implementations/grid.py:224-236``).
+
+    Disambiguation rule: a length-2 Python list/tuple of scalars is
+    ALWAYS read as ``[vmin, vmax)`` bounds — pass a numpy/jax array to
+    mean two explicit coordinates on a 2-cell axis.
+
+    Returns:
+        ``(coords, periods, extents, pixels)`` where ``extents[d]`` is
+        the maximum attainable distance along axis ``d`` (half the period
+        on a torus) and ``pixels[d]`` the cell width.
+    """
     D = len(grid_shape)
 
     def centers(n, vmin, vmax):
@@ -85,13 +95,27 @@ def _parse_axes(axes, periodic, grid_shape, dtype):
             f"D-uple of coordinate arrays; got {axes!r}."
         )
 
-    coords, periods, extents = [], [], []
+    coords, periods, extents, pixels = [], [], [], []
     for d, (spec, n, per) in enumerate(zip(per_axis, grid_shape, periodic)):
         if is_pair(spec):
             vmin, vmax = float(spec[0]), float(spec[1])
             coords.append(centers(n, vmin, vmax))
             L = vmax - vmin
+            pixels.append(L / n)
+            if not per:
+                # Maximum attainable distance = the span of the cell
+                # centers, not the interval length (matches the explicit-
+                # coordinates form for identical points):
+                L = L * (n - 1) / n
         else:
+            if isinstance(spec, jax.core.Tracer):
+                raise ValueError(
+                    "Explicit per-axis coordinates must be concrete arrays: "
+                    "the annealing schedule length depends on their span, "
+                    "which cannot be derived from a traced value under "
+                    "jax.jit. Pass [vmin, vmax) bounds instead, or keep the "
+                    "coordinates outside the jitted function."
+                )
             c = jnp.asarray(spec, dtype)
             if c.ndim != 1 or c.shape[0] != n:
                 raise NotImplementedError(
@@ -106,30 +130,34 @@ def _parse_axes(axes, periodic, grid_shape, dtype):
                     "cannot be inferred from explicit coordinates)."
                 )
             L = float(c.max() - c.min())
+            pixels.append(L / max(n - 1, 1))
         periods.append(L if per else None)
         extents.append(L / 2 if per else L)
-    return tuple(coords), tuple(periods), extents
+    return tuple(coords), tuple(periods), extents, pixels
 
 
-def _solve_grid_coords(a, b, p, blur, reach, scaling, debias, coords, periods):
+def _solve_grid_coords(
+    a, b, p, blur, reach, scaling, debias, coords, periods, extents, pixels
+):
     """Flat (single-scale) annealed symmetric Sinkhorn on a grid with
     explicit axis coordinates / periodicity. The default path uses the
     multiscale pyramid instead; this generalized path trades the pyramid
     for arbitrary geometry (grid sides are small, so each 1D pass is a
     tiny MXU matmul anyway)."""
+    if not (0.5 <= scaling < 1):
+        # Same constraint as the pyramid path (sinkhorn_images
+        # reproduces the reference's assert, `sinkhorn_images.py:143-146`).
+        raise ValueError(
+            "Scaling value of 'solve_grid' should be in [0.5, 1); "
+            f"received {scaling}."
+        )
     D = a.ndim - 1
-    extents = [
-        (float(c.max() - c.min()) if per is None else per / 2)
-        for c, per in zip(coords, periods)
-    ]
     diameter = (
         math.sqrt(sum(e**2 for e in extents)) if p == 2 else sum(extents)
     )
     if blur is None:
         # Default: one pixel (the coarsest axis), like the legacy grid code.
-        blur = max(
-            e / n for e, n in zip(extents, a.shape[1:])
-        )
+        blur = max(pixels)
     diameter, eps, eps_list, rho = scaling_parameters(
         None, None, p, blur, reach, diameter, scaling
     )
@@ -149,7 +177,7 @@ def _solve_grid_coords(a, b, p, blur, reach, scaling, debias, coords, periods):
         rho,
         debias=debias,
     )
-    return (f_aa, g_bb, g_ab, f_ba), eps, blur
+    return (f_aa, g_bb, g_ab, f_ba), eps
 
 
 @lazy_properties
@@ -229,7 +257,7 @@ class OTResultGrid(OTResult):
         coords, periods = self._coords, self._periods
 
         def apply_one_sign(v, g_pot, f_pot):
-            log_v = jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-45)), -1e4)
+            log_v = jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-30)), -1e4)  # 1e-30 floor: TPU flushes subnormals, 0*inf grad = NaN
             lse = _log_apply(eps, p, log_v, g_pot / eps, D, coords, periods)
             return jnp.exp(f_pot / eps + lse)
 
@@ -338,9 +366,12 @@ def solve_grid(
         # Generalized geometry (documented upstream, implemented here):
         # explicit axis coordinates / [vmin, vmax) bounds and per-axis
         # periodic (torus) boundaries, on a flat annealed loop.
-        coords, periods, _ = _parse_axes(axes, periodic, a.shape[1:], a.dtype)
-        (f_aa, g_bb, g_ab, f_ba), reg_val, blur = _solve_grid_coords(
-            a, b, p, blur, reach, scaling, debias, coords, periods
+        coords, periods, extents, pixels = _parse_axes(
+            axes, periodic, a.shape[1:], a.dtype
+        )
+        (f_aa, g_bb, g_ab, f_ba), reg_val = _solve_grid_coords(
+            a, b, p, blur, reach, scaling, debias, coords, periods,
+            extents, pixels,
         )
     else:
         coords = periods = None

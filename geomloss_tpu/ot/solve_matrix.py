@@ -62,7 +62,7 @@ def softmin_dense(eps, log_weights, costs, potentials):
 def stable_log(a):
     """log with values clamped to -100000 for zero weights
     (reference ``_backends/torch.py:21-25``)."""
-    return jnp.where(a > 0, jnp.log(jnp.maximum(a, 1e-45)), -100000.0)
+    return jnp.where(a > 0, jnp.log(jnp.maximum(a, 1e-30)), -100000.0)  # 1e-30 floor: TPU flushes subnormals, 0*inf grad = NaN
 
 
 @lazy_properties

@@ -38,7 +38,7 @@ def log_weights(a):
 
     Reference: ``_legacy/sinkhorn_divergence.py:61-65``.
     """
-    return jnp.where(a > 0, jnp.log(jnp.maximum(a, 1e-45)), -100000.0)
+    return jnp.where(a > 0, jnp.log(jnp.maximum(a, 1e-30)), -100000.0)  # 1e-30 floor: TPU flushes subnormals, 0*inf grad = NaN
 
 
 def scal(a, f, batch=False):
