@@ -87,3 +87,19 @@ def test_softmin_points_pallas_gradients(p):
             np.asarray(a), np.asarray(b), rtol=1e-3,
             atol=1e-3 * np.abs(np.asarray(b)).max() + 1e-9,
         )
+
+
+def test_gibbs_grad_noise_floor_sliver_no_inf():
+    """p=1 gibbs_grad weights in the sliver 1e-6 < sq <= 2e-6*(|x|^2+|y|^2)
+    (unit-scale coordinates ~1e-3 apart) must not divide by the zeroed
+    noise-floor distance (regression: inf weights -> NaN laplacian grads)."""
+    rng = np.random.RandomState(0)
+    base = rng.randn(256, 3).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    x = jnp.asarray(base)
+    y = jnp.asarray(base + 1.2e-3 * rng.randn(256, 3).astype(np.float32))
+    phi = jnp.zeros((256,), jnp.float32)
+    V = jnp.ones((256, 1), jnp.float32)
+    out = gibbs_apply_pallas(x, y, phi, phi, V, jnp.float32(0.3), p=1,
+                             kind="gibbs_grad")
+    assert bool(jnp.isfinite(out).all())
