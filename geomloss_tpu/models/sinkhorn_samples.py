@@ -88,6 +88,11 @@ def sinkhorn_tensorized(
         debias=debias,
     )
 
+    if potentials == "raw":
+        # Same convention as sinkhorn_online: the undebiased 4-tuple, fit
+        # for warm starting (init_potentials=).
+        return f_ba, g_ab, f_aa, g_bb
+
     return sinkhorn_cost(
         eps,
         rho,
@@ -211,6 +216,14 @@ def sinkhorn_online(
         eps = blur**p
         rho = None if reach is None else reach**p
         eps_list = [eps] * warm_start_iters
+        # The max-pass-free absorbed fused step assumes potentials produced
+        # by an averaged update on THESE clouds (the W <= 1 bound); external
+        # warm-start potentials can overflow exp2 when the clouds moved.
+        # Route the warm-start iterations through the max-shifted two-pass
+        # LSE instead (a few iterations — negligible cost; the fused
+        # differentiable extrapolation stays: it runs after an averaged
+        # update at the same eps, which restores the bound).
+        fused_step = None
     else:
         diameter, eps, eps_list, rho = scaling_parameters(
             x, y, p, blur, reach, diameter, scaling

@@ -324,7 +324,6 @@ def sinkhorn_loop(
     # then the jump logic after the update at index `jump`.
     boundaries = sorted(j for j in jumps if 0 <= j < Nits)
     seg_start = 0
-    grad_enabled_tail = False  # did a final-iteration jump re-enable autograd?
 
     for jump in boundaries + [None]:
         seg_end = Nits if jump is None else jump + 1
@@ -353,12 +352,15 @@ def sinkhorn_loop(
 
         if jump == Nits - 1:
             # Last-iteration jump: extrapolate with autograd enabled and
-            # skip the final extrapolation (reference lines 520-526).
+            # skip the final extrapolation (reference lines 520-526). The
+            # reference re-enables grad *before* extrapolating, so the
+            # coarse log-weights feeding the extrapolation must be the
+            # attached ones too (not just the fine-scale costs):
+            a_log, b_log = a_logs[k], b_logs[k]
             C_xy_fine, C_yx_fine = C_xys[k + 1], C_yxs[k + 1]
             if debias:
                 C_xx_fine, C_yy_fine = C_xxs[k + 1], C_yys[k + 1]
             last_extrapolation = False
-            grad_enabled_tail = True
         else:
             C_xy_fine, C_yx_fine = kernel_truncation(
                 C_xy,
@@ -406,11 +408,7 @@ def sinkhorn_loop(
             g_bb = extrapolate(g_bb, g_bb, eps, damping, C_yy, b_src, C_yy_fine)
 
         k = k + 1
-        if grad_enabled_tail:
-            # Differentiable tail: use the non-detached fine-scale data.
-            a_log, b_log = a_logs[k], b_logs[k]
-        else:
-            a_log, b_log = a_logs_d[k], b_logs_d[k]
+        a_log, b_log = a_logs_d[k], b_logs_d[k]
         C_xy, C_yx = C_xy_fine, C_yx_fine
         if debias:
             C_xx, C_yy = C_xx_fine, C_yy_fine

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..utils.typing import CostMatrices, DescentParameters, SinkhornPotentials
+from .annealing import dampening as scalar_dampening
+from .sinkhorn_loop import _detach
 from .unbalanced import dampening, dot_products
 
 __all__ = ["sinkhorn_initialization", "sinkhorn_loop"]
@@ -38,12 +40,6 @@ def sinkhorn_initialization(log_a, log_b, C_xy, softmin, dampen):
     constant_offset = 0.5 * dot_products(jnp.exp(log_a), f_ba)
     f_ba = f_ba - constant_offset.reshape((-1,) + (1,) * (f_ba.ndim - 1))
     return dampen(f_ba)
-
-
-def _detach(tree):
-    return jax.tree.map(
-        lambda v: lax.stop_gradient(v) if isinstance(v, jnp.ndarray) else v, tree
-    )
 
 
 def sinkhorn_loop(
@@ -98,10 +94,7 @@ def sinkhorn_loop(
         # rho is constant or None within a segment in all supported uses;
         # we precompute the scalar damping factors:
         damp_arr = jnp.asarray(
-            [
-                1.0 if rho_list[i] is None else 1.0 / (1.0 + eps_list[i] / rho_list[i])
-                for i in idxs
-            ],
+            [scalar_dampening(eps_list[i], rho_list[i]) for i in idxs],
             dtype=dtype,
         )
 
@@ -130,13 +123,9 @@ def sinkhorn_loop(
             start = i
     segments.append((start, n_iter))
 
-    grad_enabled_tail = False
     for s_idx, (lo, hi) in enumerate(segments):
         scale = scale_list[lo]
-        if grad_enabled_tail:
-            log_a, log_b = log_a_list[scale], log_b_list[scale]
-        else:
-            log_a, log_b = log_a_list_d[scale], log_b_list_d[scale]
+        log_a, log_b = log_a_list_d[scale], log_b_list_d[scale]
         carry = run_segment(carry, list(range(lo, hi)), log_a, log_b, C)
 
         if s_idx == len(segments) - 1:
@@ -149,31 +138,30 @@ def sinkhorn_loop(
         next_scale = scale_list[hi]
         f_ba, g_ab, f_aa, g_bb = carry
 
-        if i == n_iter - 1:
-            # A jump scheduled *after* the final iteration: extrapolate with
-            # autograd enabled and skip the last extrapolation.
-            C_fine = C_list[next_scale]
-            last_extrapolation = False
-            grad_enabled_tail = True
-        else:
-            C_fine = C_list_d[next_scale]
-            if kernel_truncation is not None:
-                C_fine_xy, C_fine_yx = kernel_truncation(
-                    C=C.xy, CT=C.yx, C_fine=C_fine.xy, CT_fine=C_fine.yx,
-                    f=f_ba, g=g_ab, eps=eps,
+        # N.B.: a "jump after the final iteration" cannot occur in this
+        # segmentation — every non-final segment ends at hi <= n_iter - 1,
+        # so i <= n_iter - 2 here. A terminal scale change simply makes the
+        # last segment run its iterations at the new scale (scale_list's
+        # final-scale convention, annealing.py); the legacy loop
+        # (sinkhorn_loop.py) keeps the explicit jumps-list branch instead.
+        C_fine = C_list_d[next_scale]
+        if kernel_truncation is not None:
+            C_fine_xy, C_fine_yx = kernel_truncation(
+                C=C.xy, CT=C.yx, C_fine=C_fine.xy, CT_fine=C_fine.yx,
+                f=f_ba, g=g_ab, eps=eps,
+            )
+            if debias:
+                C_fine_xx, _ = kernel_truncation(
+                    C=C.xx, C_fine=C_fine.xx, f=f_aa, eps=eps
                 )
-                if debias:
-                    C_fine_xx, _ = kernel_truncation(
-                        C=C.xx, C_fine=C_fine.xx, f=f_aa, eps=eps
-                    )
-                    C_fine_yy, _ = kernel_truncation(
-                        C=C.yy, C_fine=C_fine.yy, f=g_bb, eps=eps
-                    )
-                else:
-                    C_fine_xx, C_fine_yy = None, None
-                C_fine = CostMatrices(
-                    xx=C_fine_xx, yy=C_fine_yy, xy=C_fine_xy, yx=C_fine_yx
+                C_fine_yy, _ = kernel_truncation(
+                    C=C.yy, C_fine=C_fine.yy, f=g_bb, eps=eps
                 )
+            else:
+                C_fine_xx, C_fine_yy = None, None
+            C_fine = CostMatrices(
+                xx=C_fine_xx, yy=C_fine_yy, xy=C_fine_xy, yx=C_fine_yx
+            )
 
         f_ba, g_ab = (
             extrapolate(

@@ -150,3 +150,37 @@ def test_batch_sharded_samples_loss():
     np.testing.assert_allclose(
         np.asarray(sharded_vals), np.asarray(ref), rtol=1e-12
     )
+
+
+def test_sinkhorn_ring_unbalanced_matches_single_device():
+    """reach= threads through dampening, the damped updates, and the
+    unbalanced cost's psum'd mass terms (incl. zero-weight padding)."""
+    rng = np.random.RandomState(11)
+    # Uneven sizes force padding; unnormalized masses exercise the
+    # unbalanced mass constants:
+    x = jnp.asarray(rng.rand(101, 3), jnp.float32)
+    y = jnp.asarray(rng.rand(115, 3), jnp.float32)
+    a = jnp.asarray(rng.rand(101) + 0.2, jnp.float32)
+    b = jnp.asarray(rng.rand(115) + 0.5, jnp.float32)
+    kw = dict(p=2, blur=0.1, reach=0.4, diameter=1.9, scaling=0.7)
+
+    from geomloss_tpu.models.sinkhorn_samples import sinkhorn_online
+
+    v1 = sinkhorn_online(a[None], x[None], b[None], y[None], **kw)[0]
+    v8 = sinkhorn_ring(a, x, b, y, mesh=points_mesh(8), **kw)
+    np.testing.assert_allclose(float(v8), float(v1), rtol=1e-5)
+
+
+def test_sinkhorn_ring_no_debias_matches_single_device():
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.rand(96, 2), jnp.float32)
+    y = jnp.asarray(rng.rand(96, 2), jnp.float32)
+    a = jnp.full((96,), 1.0 / 96, jnp.float32)
+    b = jnp.full((96,), 1.0 / 96, jnp.float32)
+    kw = dict(p=2, blur=0.05, diameter=1.5, scaling=0.7, debias=False)
+
+    from geomloss_tpu.models.sinkhorn_samples import sinkhorn_online
+
+    v1 = sinkhorn_online(a[None], x[None], b[None], y[None], **kw)[0]
+    v8 = sinkhorn_ring(a, x, b, y, mesh=points_mesh(8), **kw)
+    np.testing.assert_allclose(float(v8), float(v1), rtol=1e-5)
