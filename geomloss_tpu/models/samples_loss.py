@@ -12,6 +12,13 @@ Differences imposed by the TPU execution model:
 * Under ``jax.jit`` the ``diameter`` argument must be supplied explicitly
   (the annealing schedule length must be static); with concrete inputs it
   is estimated eagerly exactly like the reference.
+
+.. note:: **Deliberate text reuse.** The argument-validation *error
+   strings* raised below are kept near-verbatim from the reference
+   (α/β spelled ``a``/``b``): like the ``ot.solve*`` messages in
+   ``utils/validation.py``, they are part of the user-visible contract
+   that downstream scripts match on. See the policy note there; these
+   two modules are the only places where literal reuse is policy.
 """
 
 import warnings

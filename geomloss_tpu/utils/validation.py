@@ -10,8 +10,10 @@ regularizations) are kept verbatim.
    module are copied character-for-character from the reference: they are
    part of the user-visible API contract (scripts and tests match on
    them), and paraphrasing them would be gratuitous drift. The
-   surrounding code (dispatch, conversions, NamedTuples) is ours. This is
-   the only module where literal reuse is policy.
+   surrounding code (dispatch, conversions, NamedTuples) is ours. The
+   same policy covers the ``SamplesLoss`` argument-error messages in
+   ``models/samples_loss.py`` (α/β spelled ``a``/``b``); those two
+   modules are the only places where literal reuse is policy.
 """
 
 from functools import wraps
