@@ -652,24 +652,47 @@ def barycenter_sample(
         debias=True, backend="auto",
     )
 
-    def objective(z, b):
-        # sum_k w_k S(unif(z), alpha_k), batched over B:
-        total = 0.0
-        for k in range(K):
-            total = total + weights[b, k] * loss(
-                m[b], z, a[b, k], xa[b, k]
-            )
-        return total
+    # The whole fixed-point descent is ONE traced program: the K-measure
+    # objective is a ``lax.scan`` (the solver body compiles once and loops),
+    # the B problems run under ``lax.map``, and the ``n_iter`` updates are a
+    # ``lax.scan`` over the carry ``z`` — no per-step retracing, unlike a
+    # naive Python loop of ``jax.grad`` calls.
+    def run(z, m, a, xa, weights):
+        barycenter_sample._trace_count += 1  # test hook: traces per call
 
-    sg = jax.lax.stop_gradient
-    for _ in range(n_iter):
-        zs = []
-        for b in range(B):
-            grad = jax.grad(objective)(sg(z[b]), b)
-            zs.append(sg(z[b]) - step_size * grad / m[b][:, None])
-        z = jnp.stack(zs)
+        def objective_b(zb, mb, ab, xab, wb):
+            def body(tot, inp):
+                wk, ak, xk = inp
+                return tot + wk * loss(mb, zb, ak, xk), None
+
+            tot, _ = jax.lax.scan(
+                body, jnp.zeros((), zb.dtype), (wb, ab, xab)
+            )
+            return tot
+
+        def update_b(args):
+            zb, mb, ab, xab, wb = args
+            grad = jax.grad(objective_b)(zb, mb, ab, xab, wb)
+            return zb - step_size * grad / mb[:, None]
+
+        def step(z, _):
+            z = jax.lax.map(
+                lambda args: update_b(args), (z, m, a, xa, weights)
+            )
+            return z, None
+
+        z, _ = jax.lax.scan(step, z, None, length=n_iter)
+        return z
+
+    z = jax.jit(run)(z, m, a, xa, weights)
 
     masses, samples = m, z
     if not batched:
         masses, samples = masses[0], samples[0]
     return BarycenterResult(masses=masses, samples=samples, reg=p * blur**p)
+
+
+#: Number of times the ``barycenter_sample`` descent body has been traced
+#: (one per call; NOT per iteration/measure — see ``tests/test_barycenter
+#: _matrix_sample.py``).
+barycenter_sample._trace_count = 0

@@ -245,3 +245,17 @@ def test_barycenter_sample_batched_init_broadcast():
     init = jnp.asarray(rng.randn(16, 2).astype(np.float32))
     res = ot.barycenter_sample(xb, blur=0.1, n_iter=1, init=init)
     assert res.samples.shape == (2, 16, 2)
+
+
+def test_barycenter_sample_single_trace():
+    """The fixed-point descent is ONE traced program per call: no per-
+    iteration / per-measure retracing (round-2 review item — the naive
+    version traced ``n_iter * B`` fresh ``jax.grad`` programs)."""
+    from geomloss_tpu.ot.sample_impl import barycenter_sample
+
+    rng = np.random.RandomState(4)
+    clouds = jnp.asarray(rng.randn(3, 32, 2).astype(np.float32))
+    before = barycenter_sample._trace_count
+    res = ot.barycenter_sample(clouds, blur=0.1, n_iter=5, diameter=10.0)
+    assert res.samples.shape == (32, 2)
+    assert barycenter_sample._trace_count == before + 1
