@@ -239,8 +239,10 @@ def kernel_multiscale(
     x_sd, y_sd = sg(x_s), sg(y_s)
     aw, bw = sg(a_s), sg(b_s)
     mask_xy = masks_from_geometry(x_sd, y_sd, radius, tile, w_x=aw, w_y=bw)
-    mask_xx = masks_from_geometry(x_sd, x_sd, radius, tile, w_x=aw, w_y=aw)
-    mask_yy = masks_from_geometry(y_sd, y_sd, radius, tile, w_x=bw, w_y=bw)
+    mask_xx = masks_from_geometry(x_sd, x_sd, radius, tile, w_x=aw, w_y=aw,
+                                  sym=True)
+    mask_yy = masks_from_geometry(y_sd, y_sd, radius, tile, w_x=bw, w_y=bw,
+                                  sym=True)
 
     if verbose:
         print(

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.block_sparse import (
+    build_tile_masks,
     masks_from_coarse,
     retighten_counts,
     sinkhorn_step_sparse,
@@ -196,19 +197,32 @@ def spatial_sort_blocks(
     return (w, a_s), (cent, x_s), perm
 
 
+#: Largest point count whose fine truncation tables are known to hold the
+#: full kept neighborhood at the jump temperature under the default cap
+#: (verified against converged values on the 3D benchmark spheres).
+#: Beyond it, the intermediate scale delays fine entry by
+#: ``ceil(log(N / N_FINE_OK) / log(1 / scaling^p))`` annealing steps.
+N_FINE_OK = 1 << 20
+
+
 def auto_tile(n_max):
     """Kernel-tile side for an ``n_max``-point problem.
 
-    The cols truncation tables are scalar-prefetch operands whose minor
-    axis is padded to 128 lanes in SMEM: each table costs
-    ``rows * 512`` bytes against a ~1 MB per-kernel budget *regardless of
-    cap*. Grow the tile to keep the row count <= 1536 (measured OOM at
-    2048 rows); the sparse kernels subdivide rows internally so VMEM
-    stays bounded.
+    Small tiles track the truncation radius tightly (fewer visited pairs)
+    but cost ~0.5 us of scalar-core bookkeeping per grid step; measured on
+    v5e the sweet spot is 512 up to ~512k points and 1024 beyond. The SMEM
+    scalar-prefetch budget no longer binds: tables with more than
+    ``MAX_TABLE_ROWS`` rows are split into per-chunk launches inside the
+    sparse kernels (``ops/block_sparse.py::_launch_chunked``) — round 2
+    had to grow the tile to 4096 at N = 4e6 instead, which visited ~9x
+    the ideal pair count. The chunk count is capped at 8 (beyond ~8M
+    points the tile grows again).
     """
-    tile = TILE
     npad = 1 << max(int(np.ceil(np.log2(max(n_max, 2)))), 0)
-    while npad // tile > 1536:
+    if npad <= (1 << 19):
+        return TILE
+    tile = 1024
+    while npad // tile > 8192:
         tile *= 2
     return tile
 
@@ -414,6 +428,91 @@ def sinkhorn_multiscale(
     damp_j = dampening(eps_j, rho)
     last_is_jump = jump == len(eps_list) - 1
 
+    # --- Optional intermediate scale (third scale, round-3 extension) ----------
+    # The fine truncation tables hold at most ``cap`` (<= 128) column tiles
+    # per row tile; at the jump temperature the kept neighborhood covers a
+    # *fixed fraction* of the cloud (the keep radius ~ sqrt(truncate *
+    # cluster_scale^p) and the default cluster scale are both
+    # N-independent), so beyond ~1M points the table would clip real
+    # neighbors and bias the loss. Each annealing step shrinks the kept
+    # fraction by ``scaling^p``: run the first ``n_delay`` post-jump
+    # temperatures on an intermediate cloud of pooled mid-blocks (dense
+    # streaming sweeps on <= ~2^16 points — microseconds of MXU work) and
+    # enter the fine phase only once its table fits. This keeps visited
+    # fine pairs per point bounded as N grows — the cascade the reference
+    # hints at but never implements (its two-scale loop at
+    # ``_legacy/sinkhorn_samples.py:622-651`` has the same clipping issue
+    # under KeOps ranges, reported as "millions of samples" reach).
+    n_delay = 0
+    if truncate is not None and not last_is_jump and max(N, M) > N_FINE_OK:
+        sp = float(scaling) ** p
+        n_delay = int(np.ceil(np.log(max(N, M) / N_FINE_OK) / np.log(1.0 / sp)))
+        n_delay = min(n_delay, len(eps_list) - 1 - jump)
+
+    if n_delay > 0:
+        # Mid resolution: pooled blocks whose spatial extent tracks the
+        # entry temperature (diameter ~ sqrt(points) on a 2D manifold, the
+        # reference's stated regime): b_mid <= block_size * scaling^(2 n).
+        b_mid = 1 << max(
+            0,
+            int(np.floor(np.log2(block_size * float(scaling) ** (2 * n_delay)))),
+        )
+
+        def pool_mid(w, pts):
+            wb = w.reshape(-1, b_mid)
+            pb = pts.reshape(-1, b_mid, D)
+            wsum = wb.sum(1)
+            cent = (pb * wb[..., None]).sum(1) / jnp.maximum(wsum, 1e-30)[:, None]
+            # Zero-mass (padding) blocks: park at the plain mean.
+            return wsum, jnp.where(wsum[:, None] > 0, cent, pb.mean(1))
+
+        aw_m, x_m = pool_mid(sg(a_s), x_sd)
+        bw_m, y_m = pool_mid(sg(b_s), y_sd)
+        a_log_m, b_log_m = log_weights(aw_m), log_weights(bw_m)
+        x_md, y_md = sg(x_m), sg(y_m)
+
+        if verbose:
+            print(
+                f"Intermediate scale: {x_m.shape[0]}x{y_m.shape[0]} pooled "
+                f"blocks of {b_mid} for {n_delay} iteration(s) after the jump."
+            )
+
+        # Extrapolate coarse -> mid (detached; the mid phase is never the
+        # differentiable tail — n_delay keeps at least one fine iteration):
+        f_ba_m = damp_j * sm(eps_j, (x_md, y_cd), sg(b_log_c + g_ab / eps_j))
+        g_ab_m = damp_j * sm(eps_j, (y_md, x_cd), sg(a_log_c + f_ba / eps_j))
+        if debias:
+            f_aa_m = damp_j * sm(eps_j, (x_md, x_cd), sg(a_log_c + f_aa / eps_j))
+            g_bb_m = damp_j * sm(eps_j, (y_md, y_cd), sg(b_log_c + g_bb / eps_j))
+        else:
+            f_aa_m = jnp.zeros_like(f_ba_m)
+            g_bb_m = jnp.zeros_like(g_ab_m)
+
+        mid_fns = (
+            lambda e, h: sm(e, (x_md, y_md), h),
+            lambda e, h: sm(e, (y_md, x_md), h),
+            lambda e, h: sm(e, (x_md, x_md), h),
+            lambda e, h: sm(e, (y_md, y_md), h),
+        )
+        f_ba, g_ab, f_aa, g_bb = _scan_iterations(
+            mid_fns,
+            (f_ba_m, g_ab_m, f_aa_m, g_bb_m),
+            eps_list[jump + 1 : jump + n_delay + 1],
+            rho,
+            (a_log_m, b_log_m),
+            debias,
+            dtype,
+        )
+
+        # Rebase the jump onto the mid scale: the generic fine
+        # extrapolation and truncation below now read mid-level state.
+        jump = jump + n_delay
+        eps_j = eps_list[jump]
+        damp_j = dampening(eps_j, rho)
+        last_is_jump = jump == len(eps_list) - 1
+        x_cd, y_cd = x_md, y_md
+        a_log_c, b_log_c = a_log_m, b_log_m
+
     # --- Extrapolation to the fine cloud (reference ``:533-544``) ---------------
     # The cross-updates must use the *previous* iterates in parallel.
     # On the last-iteration jump, gradients flow through the fine points.
@@ -430,22 +529,42 @@ def sinkhorn_multiscale(
     if not last_is_jump:
         # --- Kernel truncation: tile masks from the extrapolated potentials ----
         if truncate is not None:
-            # Pointwise keep rule on the coarse potentials/centroids at jump
-            # time (reference ``kernel_truncation``), pooled to kernel tiles:
-            bpt = tile // block_size
-            mask_xy = masks_from_coarse(
-                x_cd, y_cd, f_ba, g_ab, aw_c, bw_c, eps_j, p, truncate, bpt,
-                cap=cap,
-            )
-            if debias:
-                mask_xx = masks_from_coarse(
-                    x_cd, x_cd, f_aa, f_aa, aw_c, aw_c, eps_j, p, truncate, bpt,
+            if n_delay > 0:
+                # The mid phase already landed the potentials on the fine
+                # cloud: the keep rule reads tile-pooled fine potentials
+                # against rigorous tile-geometry cost bounds.
+                a_w, b_w = sg(a_s), sg(b_s)
+                mask_xy = build_tile_masks(
+                    x_sd, y_sd, sg(f_ba_f), sg(g_ab_f), eps_j, p, truncate,
+                    tile, cap=cap, w_x=a_w, w_y=b_w,
+                )
+                if debias:
+                    mask_xx = build_tile_masks(
+                        x_sd, x_sd, sg(f_aa_f), sg(f_aa_f), eps_j, p, truncate,
+                        tile, cap=cap, w_x=a_w, w_y=a_w, sym=True,
+                    )
+                    mask_yy = build_tile_masks(
+                        y_sd, y_sd, sg(g_bb_f), sg(g_bb_f), eps_j, p, truncate,
+                        tile, cap=cap, w_x=b_w, w_y=b_w, sym=True,
+                    )
+            else:
+                # Pointwise keep rule on the coarse potentials/centroids at
+                # jump time (reference ``kernel_truncation``), pooled to
+                # kernel tiles:
+                bpt = tile // block_size
+                mask_xy = masks_from_coarse(
+                    x_cd, y_cd, f_ba, g_ab, aw_c, bw_c, eps_j, p, truncate, bpt,
                     cap=cap,
                 )
-                mask_yy = masks_from_coarse(
-                    y_cd, y_cd, g_bb, g_bb, bw_c, bw_c, eps_j, p, truncate, bpt,
-                    cap=cap,
-                )
+                if debias:
+                    mask_xx = masks_from_coarse(
+                        x_cd, x_cd, f_aa, f_aa, aw_c, aw_c, eps_j, p, truncate,
+                        bpt, cap=cap, sym=True,
+                    )
+                    mask_yy = masks_from_coarse(
+                        y_cd, y_cd, g_bb, g_bb, bw_c, bw_c, eps_j, p, truncate,
+                        bpt, cap=cap, sym=True,
+                    )
 
             # The keep-score order is temperature-independent (the score
             # moves by a uniform truncate*(eps'-eps_jump)), so the same

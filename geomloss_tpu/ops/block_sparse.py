@@ -36,6 +36,16 @@ from .pallas_kernels import LN2, LOG2E, _bf16_trunc, _scores_dot, _split6_pair
 
 NEG_INF = -1e30
 
+#: Row tiles per kernel launch. The ``cols`` tables are scalar-prefetch
+#: (SMEM) operands padded to 128 lanes on the minor axis — ``rows * 512``
+#: bytes against a ~1 MB per-launch budget, whatever the cap. Tables with
+#: more rows are split into chunks of this many rows and launched through
+#: a ``lax.scan`` (one compiled kernel, ``nI / MAX_TABLE_ROWS`` launches),
+#: which keeps the kernel tile size *independent* of the point count —
+#: previously ``tile`` had to grow with N to respect the SMEM budget,
+#: inflating visited pairs ~9x over the truncation ideal at N = 4e6.
+MAX_TABLE_ROWS = 1024
+
 __all__ = [
     "tile_stats",
     "build_tile_masks",
@@ -105,6 +115,49 @@ def _col(cols, counts, i, j):
     return cols[i, jnp.minimum(j, counts[i] - 1)]
 
 
+def _launch_chunked(launch, nI, cols, counts, row_ops):
+    """Split a sparse row traversal into SMEM-budget-sized launches.
+
+    ``launch(cols_c, counts_c, *row_op_chunks) -> (rows_c, C)`` runs the
+    kernel on one chunk of table rows; ``row_ops`` is a list of
+    ``(array, chunk_axis)`` row-indexed operands (column-side operands are
+    captured by the closure and shared across chunks). Chunks run inside a
+    ``lax.scan`` so the kernel compiles once however many launches the
+    table needs.
+    """
+    if nI <= MAX_TABLE_ROWS:
+        return launch(cols, counts, *[a for a, _ in row_ops])
+    # Balanced chunks: the driver pads point counts to the kernel tile
+    # only, so nI is rarely a multiple of MAX_TABLE_ROWS. Pad with
+    # single-block dummy rows (counts = 1, pointing at tile 0) whose
+    # output rows are sliced off below.
+    nc = -(-nI // MAX_TABLE_ROWS)
+    rows_c = -(-nI // nc)
+    nIp = nc * rows_c
+
+    def split(a, ax, fill):
+        sh = a.shape
+        k = sh[ax] // nI
+        pad = [(0, 0)] * a.ndim
+        pad[ax] = (0, (nIp - nI) * k)
+        if pad[ax][1]:
+            a = jnp.pad(a, pad, constant_values=fill)
+        sh = a.shape
+        new = sh[:ax] + (nc, rows_c * k) + sh[ax + 1:]
+        return jnp.moveaxis(a.reshape(new), ax, 0)
+
+    xs = (split(cols, 0, 0), split(counts, 0, 1)) + tuple(
+        split(a, ax, 0) for a, ax in row_ops
+    )
+
+    def body(_, inp):
+        return None, launch(inp[0], inp[1], *inp[2:])
+
+    _, outs = lax.scan(body, None, xs)
+    out = outs.reshape((-1,) + outs.shape[2:])
+    return out[: nI * (out.shape[0] // nIp)]
+
+
 def tile_stats(x, block):
     """Per-tile centroids and radii of a (padded) sorted point cloud.
 
@@ -147,19 +200,23 @@ def retighten_counts(vals, delta):
     return jnp.maximum((vals + delta > 0).sum(axis=1), 1).astype(jnp.int32)
 
 
-def build_tile_masks(x, y, f, g, eps, p, truncate, block, cap=None, w_x=None, w_y=None):
+def build_tile_masks(x, y, f, g, eps, p, truncate, block, cap=None, w_x=None,
+                     w_y=None, sym=False):
     """Both traversal directions of the truncation pattern, from one score.
 
     ``block`` is used for both row and column tiles (so a cloud can appear
     on either side of a problem with a single padding constraint).
     When point weights ``w_x``/``w_y`` are given, zero-weight (padding)
     points are excluded from the potential bounds and pure-padding tiles
-    are never kept.
+    are never kept. ``sym=True`` declares the problem symmetric (``y is
+    x``, ``g is f``) so the transposed top-k is a free copy.
     """
     nI = x.shape[0] // block
     nJ = y.shape[0] // block
     if cap is None:
-        cap = max(4, nJ // 8)
+        cap = max(32, min(nJ // 8, 128))
+    # SMEM budget per launch (see MAX_TABLE_ROWS):
+    cap = min(cap, max(8, 225_000 // min(max(nI, nJ), MAX_TABLE_ROWS)))
 
     cx, rx = tile_stats(x, block)
     cy, ry = tile_stats(y, block)
@@ -185,7 +242,10 @@ def build_tile_masks(x, y, f, g, eps, p, truncate, block, cap=None, w_x=None, w_
     score = jnp.where(x_mass[:, None] & y_mass[None, :], score, NEG_INF)
 
     cols, counts, vals = _cols_from_score(score, cap)
-    colsT, countsT, valsT = _cols_from_score(score.T, cap)
+    if sym:
+        colsT, countsT, valsT = cols, counts, vals
+    else:
+        colsT, countsT, valsT = _cols_from_score(score.T, cap)
     return TileMask(
         cols=cols, counts=counts, colsT=colsT, countsT=countsT,
         vals=vals, valsT=valsT,
@@ -193,7 +253,8 @@ def build_tile_masks(x, y, f, g, eps, p, truncate, block, cap=None, w_x=None, w_
 
 
 def masks_from_coarse(
-    cx, cy, f_c, g_c, w_x, w_y, eps, p, truncate, blocks_per_tile, cap=None
+    cx, cy, f_c, g_c, w_x, w_y, eps, p, truncate, blocks_per_tile, cap=None,
+    sym=False,
 ):
     """Tile masks from the reference's *pointwise* centroid keep rule.
 
@@ -210,6 +271,9 @@ def masks_from_coarse(
         w_x, w_y: coarse block weights (zero = padding, never kept).
         blocks_per_tile: TILE // block_size.
         cap: static bound on kept column tiles per row tile.
+        sym: the problem is symmetric (``cy is cx``, ``g_c is f_c``) — the
+            pooled score matrix equals its transpose, so the transposed
+            top-k is a free copy (the xx / yy debias masks).
 
     Returns:
         :class:`TileMask`.
@@ -227,16 +291,22 @@ def masks_from_coarse(
         axis=(1, 3)
     )
     if cap is None:
-        # Generous: masked grid steps are nearly free (frozen block index,
-        # see ``_col``), so clipping real neighbors is the only real risk.
-        cap = max(32, nJ // 8)
+        # Masked grid steps are compute-gated but still cost ~0.5 us of
+        # scalar-core bookkeeping each, so the cap is bounded at 128 (the
+        # SMEM lane-padding free limit); the per-eps table slicing in
+        # models/multiscale.py trims the live grid further.
+        cap = max(32, min(nJ // 8, 128))
     # The cols arrays are scalar-prefetch operands living in SMEM (~1 MB
-    # per kernel), padded to 128 lanes on the minor axis: any cap <= 128
-    # costs the same nI * 512 bytes (the tile="auto" rule keeps nI within
-    # budget); beyond 128 lanes the true size counts.
-    cap = min(cap, max(8, 225_000 // max(nI, nJ)))
+    # per LAUNCH), padded to 128 lanes on the minor axis: any cap <= 128
+    # costs 512 bytes per table row. Tables beyond MAX_TABLE_ROWS rows are
+    # split into per-chunk launches (``_launch_chunked``), so only the
+    # chunk row count binds here.
+    cap = min(cap, max(8, 225_000 // min(max(nI, nJ), MAX_TABLE_ROWS)))
     cols, counts, vals = _cols_from_score(score_t, cap)
-    colsT, countsT, valsT = _cols_from_score(score_t.T, cap)
+    if sym:
+        colsT, countsT, valsT = cols, counts, vals
+    else:
+        colsT, countsT, valsT = _cols_from_score(score_t.T, cap)
     return TileMask(
         cols=cols, counts=counts, colsT=colsT, countsT=countsT,
         vals=vals, valsT=valsT,
@@ -317,37 +387,43 @@ def lse_sparse(x, y, h, eps, cols, counts, p=2, block_n=256, block_m=512):
     s = block_n // bn
 
     K = xhT.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # cols, counts, eps
-        grid=(nI * s, cap),
-        in_specs=[
-            pl.BlockSpec((K, bn), lambda i, j, cols, counts, eps: (0, i)),
-            pl.BlockSpec(
-                (K, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i // s, j))
-            ),
-            pl.BlockSpec(
-                (1, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i // s, j))
-            ),
-            pl.BlockSpec((bn, 1), lambda i, j, cols, counts, eps: (i, 0)),
-            pl.BlockSpec(
-                (1, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i // s, j))
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (bn, 1), lambda i, j, cols, counts, eps: (i, 0)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((bn, 1), f32),
-            pltpu.VMEM((bn, 1), f32),
-        ],
-    )
 
-    out = pl.pallas_call(
-        functools.partial(_lse_sparse_kernel, p=p, s=s),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, 1), f32),
-        interpret=_interpret(),
-    )(cols, counts, eps_arr, xhT, yhT, h2, sqx, sqy)
+    def launch(cols_c, counts_c, xhT_c, sqx_c):
+        nI_c = cols_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # cols, counts, eps
+            grid=(nI_c * s, cap),
+            in_specs=[
+                pl.BlockSpec((K, bn), lambda i, j, cols, counts, eps: (0, i)),
+                pl.BlockSpec(
+                    (K, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i // s, j))
+                ),
+                pl.BlockSpec(
+                    (1, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i // s, j))
+                ),
+                pl.BlockSpec((bn, 1), lambda i, j, cols, counts, eps: (i, 0)),
+                pl.BlockSpec(
+                    (1, block_m), lambda i, j, cols, counts, eps: (0, _col(cols, counts, i // s, j))
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (bn, 1), lambda i, j, cols, counts, eps: (i, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bn, 1), f32),
+                pltpu.VMEM((bn, 1), f32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_lse_sparse_kernel, p=p, s=s),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nI_c * block_n, 1), f32),
+            interpret=_interpret(),
+        )(cols_c, counts_c, eps_arr, xhT_c, yhT, h2, sqx_c, sqy)
+
+    out = _launch_chunked(
+        launch, nI, cols, counts, [(xhT, 1), (sqx, 0)]
+    )
 
     out = out[:, 0] * LN2  # back to natural-log units
     if p == 2:
@@ -477,28 +553,34 @@ def gibbs_apply_sparse(
     s = block_n // bn
 
     K = xhT.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nI * s, cap),
-        in_specs=[
-            pl.BlockSpec((K, bn), lambda i, j, c, n, e: (0, i)),
-            pl.BlockSpec((K, block_m), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
-            pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
-            pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
-            pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
-            pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
-            pl.BlockSpec((VT.shape[0], block_m), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
-        ],
-        out_specs=pl.BlockSpec((bn, C), lambda i, j, c, n, e: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((bn, C), f32)],
-    )
 
-    out = pl.pallas_call(
-        functools.partial(_apply_sparse_kernel, p=p, kind=kind, s=s),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, C), f32),
-        interpret=_interpret(),
-    )(cols, counts, eps_arr, xhT, yhT, phi_col, psi_row, sqx, sqy, VT)
+    def launch(cols_c, counts_c, xhT_c, phi_c, sqx_c):
+        nI_c = cols_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nI_c * s, cap),
+            in_specs=[
+                pl.BlockSpec((K, bn), lambda i, j, c, n, e: (0, i)),
+                pl.BlockSpec((K, block_m), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
+                pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
+                pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
+                pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
+                pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
+                pl.BlockSpec((VT.shape[0], block_m), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
+            ],
+            out_specs=pl.BlockSpec((bn, C), lambda i, j, c, n, e: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((bn, C), f32)],
+        )
+        return pl.pallas_call(
+            functools.partial(_apply_sparse_kernel, p=p, kind=kind, s=s),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nI_c * block_n, C), f32),
+            interpret=_interpret(),
+        )(cols_c, counts_c, eps_arr, xhT_c, yhT, phi_c, psi_row, sqx_c, sqy, VT)
+
+    out = _launch_chunked(
+        launch, nI, cols, counts, [(xhT, 1), (phi_col, 0), (sqx, 0)]
+    )
 
     return out
 
@@ -584,26 +666,35 @@ def _absorbed_sum(x, y, phi, psi, eps, cols, counts, p, block):
     eps_arr = eps32.reshape(1)
 
     K = xhT.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nI * s, cap),
-        in_specs=[
-            pl.BlockSpec((K, bn), lambda i, j, c, n, e: (0, i)),
-            pl.BlockSpec((K, block), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
-            pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
-            pl.BlockSpec((1, block), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
-            pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
-            pl.BlockSpec((1, block), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
-        ],
-        out_specs=pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((bn, 1), f32)],
+    psi_row = psi_eff[None, :]
+
+    def launch(cols_c, counts_c, xhT_c, phi_c, sqx_c):
+        nI_c = cols_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nI_c * s, cap),
+            in_specs=[
+                pl.BlockSpec((K, bn), lambda i, j, c, n, e: (0, i)),
+                pl.BlockSpec((K, block), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
+                pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
+                pl.BlockSpec((1, block), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
+                pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
+                pl.BlockSpec((1, block), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
+            ],
+            out_specs=pl.BlockSpec((bn, 1), lambda i, j, c, n, e: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((bn, 1), f32)],
+        )
+        return pl.pallas_call(
+            functools.partial(_row_sum_sparse_kernel, p=p, s=s),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nI_c * block, 1), f32),
+            interpret=_interpret(),
+        )(cols_c, counts_c, eps_arr, xhT_c, yhT, phi_c, psi_row, sqx_c, sqy)
+
+    r = _launch_chunked(
+        launch, nI, cols, counts,
+        [(xhT, 1), (phi_eff[:, None], 0), (sqx, 0)],
     )
-    r = pl.pallas_call(
-        functools.partial(_row_sum_sparse_kernel, p=p, s=s),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, 1), f32),
-        interpret=_interpret(),
-    )(cols, counts, eps_arr, xhT, yhT, phi_eff[:, None], psi_eff[None, :], sqx, sqy)
 
     return jnp.maximum(r[:, 0], _SUM_FLOOR)
 
@@ -862,20 +953,22 @@ def softmin_sparse(eps, C_xy, h, p=2, block=256):
 # ==============================================================================
 
 
-def masks_from_geometry(x, y, radius, block, cap=None, w_x=None, w_y=None):
+def masks_from_geometry(x, y, radius, block, cap=None, w_x=None, w_y=None,
+                        sym=False):
     """Tile masks from a pure distance rule: keep tile pairs whose minimum
     possible pairwise distance (centroid distance minus radii) is below
     ``radius``. This is the rigorous version of the reference's
     MMD truncation (``_legacy/kernel_samples.py:242-256``: centroid
     distance <= (truncate + cell_diameter) in blur units).
 
-    Zero-weight (padding) tiles are never kept.
+    Zero-weight (padding) tiles are never kept. ``sym=True`` declares the
+    problem symmetric (``y is x``) so the transposed top-k is a free copy.
     """
     nI = x.shape[0] // block
     nJ = y.shape[0] // block
     if cap is None:
-        cap = max(8, nJ // 8)
-    cap = min(cap, max(8, 400_000 // (4 * max(nI, nJ))))
+        cap = max(8, min(nJ // 8, 128))
+    cap = min(cap, max(8, 400_000 // (4 * min(max(nI, nJ), MAX_TABLE_ROWS))))
 
     cx, rx = tile_stats(x, block)
     cy, ry = tile_stats(y, block)
@@ -894,7 +987,10 @@ def masks_from_geometry(x, y, radius, block, cap=None, w_x=None, w_y=None):
     score = jnp.where(valid, score, NEG_INF)
 
     cols, counts, vals = _cols_from_score(score, cap)
-    colsT, countsT, valsT = _cols_from_score(score.T, cap)
+    if sym:
+        colsT, countsT, valsT = cols, counts, vals
+    else:
+        colsT, countsT, valsT = _cols_from_score(score.T, cap)
     return TileMask(
         cols=cols, counts=counts, colsT=colsT, countsT=countsT,
         vals=vals, valsT=valsT,

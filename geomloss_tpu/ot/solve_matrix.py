@@ -332,49 +332,22 @@ def _softmin_bk(eps, C, h):
     return -eps * jax.nn.logsumexp(h[:, :, None, :] - C / eps, axis=-1)
 
 
-def _barycenter_iteration(f_k, g_k, log_d, eps, C, Ct, C_bb, log_a, w_k):
-    """One symmetric debiased barycenter iteration on explicit cost
-    matrices — the matrix-space analogue of the grid iteration
-    (reference ``sinkhorn_barycenters.py:14-78``,
-    ``wasserstein_barycenter_images.py:6-31``).
+def _barycenter_C(cost, Ct, C_bb):
+    """Cost descriptor wiring explicit matrices into the *shared*
+    barycenter iteration (``solvers.barycenters.barycenter_iteration``):
+    ``xy`` maps data supports to the barycenter (so it is the transposed
+    stack), ``xx`` is the barycenter self-cost used by the debiasing
+    update (``None`` turns debiasing off — the shared iteration then
+    gauge-pins the mass to the simplex instead).
 
     Shapes: f_k ``(B, K, M)`` (barycenter support), g_k / log_a
-    ``(B, K, N)`` (data supports), log_d ``(B, M)``, w_k ``(B, K)``;
-    C ``(B, K, N, M)``, Ct its transpose, C_bb ``(B, M, M)`` or ``None``
-    (debiasing off: log_d stays the uniform reference measure).
+    ``(B, K, N)`` (data supports), log_d ``(B, 1, M)``, w_k ``(B, K)``;
+    cost ``(B, K, N, M)``, Ct its transpose, C_bb ``(B, M, M)``.
     """
-    import jax
+    from ..utils.typing import CostMatrices
 
-    w = w_k[:, :, None]  # (B, K, 1)
-
-    def normalize(log_bar):
-        # Without the debiasing density, the dual gauge (a free additive
-        # constant in the potentials) leaves the barycenter mass
-        # unnormalized: pin it to the simplex. With debiasing, log_d
-        # absorbs the constant and the reference's update is kept as-is.
-        if C_bb is not None:
-            return log_bar
-        return log_bar - jax.nn.logsumexp(log_bar, axis=-1, keepdims=True)
-
-    # Pseudo-step — from the measures to the barycenter:
-    ft_k = _softmin_bk(eps, Ct, log_a + g_k / eps)  # (B, K, M)
-    log_bar = normalize(log_d - (ft_k / eps * w).sum(1))  # (B, M)
-
-    # Symmetric Sinkhorn updates (ft_k is the same softmin as above):
-    gt_k = _softmin_bk(eps, C, log_bar[:, None, :] + f_k / eps)
-    f_k = (f_k + ft_k) / 2
-    g_k = (g_k + gt_k) / 2
-
-    # Pseudo-step with the updated potentials:
-    ft_k = _softmin_bk(eps, Ct, log_a + g_k / eps)
-    log_bar = normalize(log_d - (ft_k / eps * w).sum(1))
-
-    # Update the de-biasing measure (Janati et al.'s correction):
-    if C_bb is not None:
-        h = _softmin_bk(eps, C_bb[:, None, :, :], log_d[:, None, :])[:, 0, :]
-        log_d = 0.5 * (log_d + log_bar + h / eps)
-
-    return f_k, g_k, log_d, log_bar
+    xx = None if C_bb is None else C_bb[:, None, :, :]
+    return CostMatrices(xy=Ct, yx=cost, xx=xx)
 
 
 def barycenter(
@@ -532,15 +505,19 @@ def barycenter(
     )
     C_bb_d = None if cost_bar is None else wrap(cost_bar)
 
+    from ..solvers.barycenters import barycenter_iteration
+
     eps0 = eps_list[0]
     f_k = _softmin_bk(eps0, Ct_d, log_a_d)  # (B, K, M)
-    log_d = jnp.full((B, M), -math.log(M), cost.dtype)  # uniform reference
-    g_k = _softmin_bk(eps0, cost_d, log_d[:, None, :])  # (B, K, N)
+    log_d = jnp.full((B, 1, M), -math.log(M), cost.dtype)  # uniform reference
+    g_k = _softmin_bk(eps0, cost_d, log_d)  # (B, K, N)
+    C_desc_d = _barycenter_C(cost_d, Ct_d, C_bb_d)
 
     def body(state, eps):
         f_k, g_k, log_d = state
-        f_k, g_k, log_d, _ = _barycenter_iteration(
-            f_k, g_k, log_d, eps, cost_d, Ct_d, C_bb_d, log_a_d, w_d
+        f_k, g_k, log_d, _ = barycenter_iteration(
+            softmin=_softmin_bk, f_k=f_k, g_k=g_k, log_d=log_d, eps=eps,
+            C=C_desc_d, log_b_k=log_a_d, w_k=w_d,
         )
         return (f_k, g_k, log_d), None
 
@@ -553,9 +530,11 @@ def barycenter(
     if detach:
         f_k, g_k, log_d = sg(f_k), sg(g_k), sg(log_d)
         log_bar = None
+        C_desc = _barycenter_C(cost, Ct, cost_bar)
         for _ in range(backward_iterations):
-            f_k, g_k, log_d, log_bar = _barycenter_iteration(
-                f_k, g_k, log_d, eps, cost, Ct, cost_bar, log_a, weights
+            f_k, g_k, log_d, log_bar = barycenter_iteration(
+                softmin=_softmin_bk, f_k=f_k, g_k=g_k, log_d=log_d, eps=eps,
+                C=C_desc, log_b_k=log_a, w_k=weights,
             )
     else:
         # Extract the barycenter from the (fully differentiable) final
@@ -563,13 +542,15 @@ def barycenter(
         import jax
 
         ft_k = _softmin_bk(eps, Ct_d, log_a_d + g_k / eps)
-        log_bar = log_d - (ft_k / eps * weights[:, :, None]).sum(1)
+        log_bar = log_d - (ft_k / eps * weights[:, :, None]).sum(
+            1, keepdims=True
+        )
         if cost_bar is None:
             log_bar = log_bar - jax.nn.logsumexp(
                 log_bar, axis=-1, keepdims=True
             )
 
-    masses = jnp.exp(log_bar)
+    masses = jnp.exp(log_bar[:, 0])
     if not batched:
         masses = masses[0]
         f_k, g_k = f_k[0], g_k[0]

@@ -209,10 +209,12 @@ def sinkhorn_multiscale_sharded(
     )
     if debias:
         mask_xx = masks_from_coarse(
-            x_cd, x_cd, f_aa, f_aa, aw_c, aw_c, eps_j, p, truncate, bpt, cap=cap
+            x_cd, x_cd, f_aa, f_aa, aw_c, aw_c, eps_j, p, truncate, bpt,
+            cap=cap, sym=True,
         )
         mask_yy = masks_from_coarse(
-            y_cd, y_cd, g_bb, g_bb, bw_c, bw_c, eps_j, p, truncate, bpt, cap=cap
+            y_cd, y_cd, g_bb, g_bb, bw_c, bw_c, eps_j, p, truncate, bpt,
+            cap=cap, sym=True,
         )
     else:
         mask_xx = mask_yy = jax.tree.map(lambda v: v[:0], mask_xy)

@@ -27,25 +27,45 @@ def barycenter_iteration(*, softmin, f_k, g_k, log_d, eps, C, log_b_k, w_k):
     """One symmetric Sinkhorn iteration for the barycenter problem
     (reference ``sinkhorn_barycenters.py:14-78``).
 
+    This is the *single* barycenter iteration of the library: the matrix
+    (``ot.barycenter``), grid (``ImagesBarycenter``) and abstract
+    front-ends all call it with their own ``softmin`` adapter and cost
+    descriptor ``C`` (dense matrices, integer grid exponent, point
+    clouds, ...).
+
     Shapes: ``f_k, g_k, log_b_k`` are ``(B, K, ...)``; ``log_d`` is
     ``(B, 1, ...)``; ``w_k`` is ``(B, K)``.
+
+    When ``C.xx is None`` the debiasing density is not updated and the
+    barycenter is instead gauge-pinned to the simplex (the potentials'
+    free additive constant otherwise leaves the mass unnormalized).
     """
-    # Pseudo-step — from the measures to the barycenter:
-    ft_k = softmin(eps, C.xy, log_b_k + g_k / eps)  # (B, K, ...)
-    log_bar = log_d - jnp.einsum("bk...,bk->b...", ft_k, w_k)[:, None, ...] / eps
+
+    def pseudo_step(g_k):
+        # From the measures to the barycenter:
+        ft_k = softmin(eps, C.xy, log_b_k + g_k / eps)  # (B, K, ...)
+        log_bar = (
+            log_d - jnp.einsum("bk...,bk->b...", ft_k, w_k)[:, None, ...] / eps
+        )
+        if C.xx is None:
+            log_bar = log_bar - jax.nn.logsumexp(
+                log_bar, axis=tuple(range(2, log_bar.ndim)), keepdims=True
+            )
+        return ft_k, log_bar
+
+    ft_k, log_bar = pseudo_step(g_k)
 
     # Symmetric Sinkhorn updates:
-    ft_k = softmin(eps, C.xy, log_b_k + g_k / eps)
     gt_k = softmin(eps, C.yx, log_bar + f_k / eps)
     f_k = (f_k + ft_k) / 2
     g_k = (g_k + gt_k) / 2
 
     # Pseudo-step with the updated potentials:
-    ft_k = softmin(eps, C.xy, log_b_k + g_k / eps)
-    log_bar = log_d - jnp.einsum("bk...,bk->b...", ft_k, w_k)[:, None, ...] / eps
+    _, log_bar = pseudo_step(g_k)
 
-    # Update the de-biasing measure:
-    log_d = 0.5 * (log_d + log_bar + softmin(eps, C.xx, log_d) / eps)
+    if C.xx is not None:
+        # Update the de-biasing measure (Janati et al.'s correction):
+        log_d = 0.5 * (log_d + log_bar + softmin(eps, C.xx, log_d) / eps)
 
     return f_k, g_k, log_d, log_bar
 

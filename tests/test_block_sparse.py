@@ -108,3 +108,41 @@ def test_tile_stats():
     cent, rad = tile_stats(x, 2)
     np.testing.assert_allclose(np.asarray(cent), [[1.0, 0.0], [10.0, 1.0]])
     np.testing.assert_allclose(np.asarray(rad), [1.0, 1.0])
+
+
+@pytest.mark.parametrize("p", [1, 2])
+def test_chunked_launch_matches_single(p, monkeypatch):
+    """Tables beyond MAX_TABLE_ROWS rows split into per-chunk launches
+    (including a ragged row count that needs internal padding)."""
+    from geomloss_tpu.ops import block_sparse as bs
+
+    block = 128
+    x, y, h = _problem(N=640, M=640, seed=3)  # nI = 5 rows (ragged vs 2)
+    f = jnp.zeros(x.shape[0], jnp.float32)
+    g = jnp.zeros(y.shape[0], jnp.float32)
+    eps = 0.3
+    mask = build_tile_masks(x, y, f, g, eps, p, truncate=1e6, block=block,
+                            cap=y.shape[0] // block)
+    ref = softmin_sparse(eps, (x, y, mask), h, p=p, block=block)
+    gs = jax.grad(
+        lambda x, h: (softmin_sparse(eps, (x, y, mask), h, p=p, block=block) ** 2).sum(),
+        argnums=(0, 1),
+    )(x, h)
+
+    # The kernels are jitted: clear the trace cache so the patched
+    # MAX_TABLE_ROWS is seen (the global is read at trace time).
+    monkeypatch.setattr(bs, "MAX_TABLE_ROWS", 2)  # 5 rows -> 3 chunks of 2
+    jax.clear_caches()
+    chunked = softmin_sparse(eps, (x, y, mask), h, p=p, block=block)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    gr = jax.grad(
+        lambda x, h: (softmin_sparse(eps, (x, y, mask), h, p=p, block=block) ** 2).sum(),
+        argnums=(0, 1),
+    )(x, h)
+    monkeypatch.setattr(bs, "MAX_TABLE_ROWS", 1024)
+    jax.clear_caches()
+    for a, b in zip(gr, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -67,3 +67,68 @@ def test_multiscale_tracks_tensorized_tightly_at_scaling_09():
     ms = float(sinkhorn_multiscale(a, x, b, y, truncate=5, **kw))
     tz = float(sinkhorn_tensorized(a[None], x[None], b[None], y[None], **kw)[0])
     assert abs(ms - tz) / abs(tz) < 5e-3, (ms, tz)
+
+
+@pytest.mark.slow
+def test_mid_scale_path_tracks_tensorized(monkeypatch):
+    # Round-3 third scale: force the intermediate phase at a small N by
+    # shrinking the fine-entry budget, and check the value still tracks
+    # the dense reference (the mid phase must not bias the loss).
+    import jax
+
+    from geomloss_tpu.models import multiscale as msmod
+
+    rng = np.random.RandomState(7)
+    N, M = 2048, 2048
+    x = jnp.asarray(rng.rand(N, 3), jnp.float32)
+    y = jnp.asarray(rng.rand(M, 3) * 0.8 + 0.2, jnp.float32)
+    a = jnp.full((N,), 1.0 / N, jnp.float32)
+    b = jnp.full((M,), 1.0 / M, jnp.float32)
+    kw = dict(p=2, blur=0.05, diameter=2.0, scaling=0.7, truncate=5)
+
+    monkeypatch.setattr(msmod, "N_FINE_OK", 512)  # force n_delay >= 1
+    jax.clear_caches()
+    ms = float(sinkhorn_multiscale(a, x, b, y, **kw))
+    monkeypatch.setattr(msmod, "N_FINE_OK", 1 << 20)
+    jax.clear_caches()
+
+    tz = float(
+        sinkhorn_tensorized(
+            a[None], x[None], b[None], y[None], p=2, blur=0.05,
+            diameter=2.0, scaling=0.7,
+        )[0]
+    )
+    assert abs(ms - tz) / abs(tz) < 5e-3, (ms, tz)
+
+
+@pytest.mark.slow
+def test_mid_scale_gradients_flow(monkeypatch):
+    import jax
+
+    from geomloss_tpu.models import multiscale as msmod
+
+    rng = np.random.RandomState(8)
+    N = 1024
+    x = jnp.asarray(rng.rand(N, 3), jnp.float32)
+    y = jnp.asarray(rng.rand(N, 3) * 0.8 + 0.2, jnp.float32)
+    a = jnp.full((N,), 1.0 / N, jnp.float32)
+
+    monkeypatch.setattr(msmod, "N_FINE_OK", 256)
+    jax.clear_caches()
+    g_mid = jax.grad(
+        lambda x: sinkhorn_multiscale(
+            a, x, a, y, p=2, blur=0.05, diameter=2.0, scaling=0.6, truncate=5
+        )
+    )(x)
+    monkeypatch.setattr(msmod, "N_FINE_OK", 1 << 20)
+    jax.clear_caches()
+    g_two = jax.grad(
+        lambda x: sinkhorn_multiscale(
+            a, x, a, y, p=2, blur=0.05, diameter=2.0, scaling=0.6, truncate=5
+        )
+    )(x)
+    assert np.all(np.isfinite(np.asarray(g_mid)))
+    scale = np.abs(np.asarray(g_two)).max()
+    np.testing.assert_allclose(
+        np.asarray(g_mid), np.asarray(g_two), atol=0.05 * scale
+    )
