@@ -204,6 +204,14 @@ def spatial_sort_blocks(
 #: ``ceil(log(N / N_FINE_OK) / log(1 / scaling^p))`` annealing steps.
 N_FINE_OK = 1 << 20
 
+#: Test/debug hook: force the intermediate-scale pooling factor.
+_B_MID_OVERRIDE = None
+
+#: Debug hook: return the mid-phase state just before the fine tables
+#: are built (mask-construction analysis on real hardware, where
+#: io_callback/debug.print are unavailable).
+_DEBUG_MID_STATE = False
+
 
 def auto_tile(n_max):
     """Kernel-tile side for an ``n_max``-point problem.
@@ -457,6 +465,8 @@ def sinkhorn_multiscale(
             0,
             int(np.floor(np.log2(block_size * float(scaling) ** (2 * n_delay)))),
         )
+        if _B_MID_OVERRIDE is not None:
+            b_mid = _B_MID_OVERRIDE
 
         def pool_mid(w, pts):
             wb = w.reshape(-1, b_mid)
@@ -525,6 +535,13 @@ def sinkhorn_multiscale(
         g_bb_f = damp_j * sm(eps_j, (y_e, y_cd), sg(b_log_c + g_bb / eps_j))
     else:
         f_aa_f, g_bb_f = jnp.zeros_like(f_ba_f), jnp.zeros_like(g_ab_f)
+
+    if _DEBUG_MID_STATE and n_delay > 0:
+        return dict(
+            x_sd=x_sd, y_sd=y_sd, f_ba_f=f_ba_f, g_ab_f=g_ab_f,
+            a_s=a_s, b_s=b_s, eps_j=eps_j, tile=tile, jump=jump,
+            eps_list=list(eps_list),
+        )
 
     if not last_is_jump:
         # --- Kernel truncation: tile masks from the extrapolated potentials ----

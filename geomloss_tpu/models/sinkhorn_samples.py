@@ -35,6 +35,18 @@ from ..solvers.sinkhorn_loop import log_weights, sinkhorn_cost, sinkhorn_loop
 
 __all__ = ["sinkhorn_tensorized", "sinkhorn_online"]
 
+#: Precision schedule for the online backend's warm annealing sweeps
+#: (p=2, built-in cost): an iteration runs on plain-bf16 MXU scores when
+#: its temperature satisfies ``eps >= WARM_NOISE_FACTOR * noise`` with
+#: ``noise ~ 2^-8 (diam/2)^2`` (the bf16 dot rounding on centered
+#: clouds), i.e. the exponent perturbation stays below 1%...
+WARM_NOISE_FACTOR = 100.0
+#: ... and at least this many exact closing iterations remain: each
+#: averaged exact update roughly halves the leftover potential offset,
+#: so the handoff error is contracted well under the f32 solver noise
+#: before the (always exact) differentiable extrapolation.
+WARM_EXACT_TAIL = 6
+
 
 def sinkhorn_tensorized(
     a,
@@ -149,7 +161,8 @@ def sinkhorn_online(
     # KeOps launches per iteration — see ops/softmin.py).
     if cost is None:
 
-        def fused_step(eps, C_xy, C_yx, a_log, b_log, f, g, sym=False):
+        def fused_step(eps, C_xy, C_yx, a_log, b_log, f, g, sym=False,
+                       exact=True):
             x_, y_ = C_xy[0], C_yx[0]
             if x_.ndim == 3:  # static batch axis: unroll (B is small)
                 outs = []
@@ -161,14 +174,15 @@ def sinkhorn_online(
                     outs.append(
                         sinkhorn_step_points(
                             eps, xi, yi, lai, lbi, fi, gi,
-                            p=p, impl=impl, sym=sym,
+                            p=p, impl=impl, sym=sym, exact=exact,
                         )
                     )
                 S_xy = jnp.stack([o[0] for o in outs])
                 S_yx = None if sym else jnp.stack([o[1] for o in outs])
                 return S_xy, S_yx
             return sinkhorn_step_points(
-                eps, x_, y_, a_log, b_log, f, g, p=p, impl=impl, sym=sym
+                eps, x_, y_, a_log, b_log, f, g, p=p, impl=impl, sym=sym,
+                exact=exact,
             )
 
         def _unbatch(fn, *args):
@@ -209,6 +223,15 @@ def sinkhorn_online(
         fused_last = None
 
     sg = lax.stop_gradient
+
+    # Center the clouds on their detached joint mean: pairwise costs are
+    # translation-invariant, gradients pass through unchanged, and the
+    # Pallas dot-expansion's score noise (f32-split ~2^-24, plain-bf16
+    # warm sweeps ~2^-9, both relative to |x||y|) then scales with the
+    # *diameter* instead of the distance to the origin.
+    ctr = sg(0.5 * (x.mean(axis=-2, keepdims=True) + y.mean(axis=-2, keepdims=True)))
+    x, y = x - ctr, y - ctr
+
     C_xy, C_yx = (x, sg(y)), (y, sg(x))
     C_xx, C_yy = ((x, sg(x)), (y, sg(y))) if debias else (None, None)
 
@@ -229,6 +252,25 @@ def sinkhorn_online(
             x, y, p, blur, reach, diameter, scaling
         )
 
+    # Precision schedule for the warm annealing sweeps: with centered
+    # clouds, a plain-bf16 MXU pass carries ~2^-8 (diam/2)^2 absolute
+    # score noise. Warm iterations tolerate it (the exponent perturbation
+    # is noise/eps <= 1/WARM_NOISE_FACTOR), any leftover potential offset
+    # (~ the score noise, eps-free) is halved by each exact averaged
+    # closing iteration, and the differentiable extrapolation is always
+    # exact. p=1 stays exact: its cost is sqrt(expansion), so near-blur
+    # distances would amplify the noise by 1/(2 d).
+    warm_iters = 0
+    if (
+        fused_step is not None
+        and init_potentials is None
+        and p == 2
+        and not isinstance(diameter, jnp.ndarray)
+    ):
+        noise = 2.0 ** -8 * (diameter / 2.0) ** 2
+        warm_iters = sum(e >= WARM_NOISE_FACTOR * noise for e in eps_list)
+        warm_iters = min(warm_iters, max(0, len(eps_list) - WARM_EXACT_TAIL))
+
     f_aa, g_bb, g_ab, f_ba = sinkhorn_loop(
         softmin,
         log_weights(a),
@@ -243,6 +285,7 @@ def sinkhorn_online(
         init_potentials=init_potentials,
         fused_step=fused_step,
         fused_last=fused_last,
+        warm_iters=warm_iters,
     )
 
     if potentials == "raw":

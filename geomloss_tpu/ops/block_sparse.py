@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from typing import NamedTuple
 
+from .costs import COORD_PRECISION
 from .pallas_kernels import LN2, LOG2E, _bf16_trunc, _scores_dot, _split6_pair
 
 NEG_INF = -1e30
@@ -175,6 +176,62 @@ def tile_stats(x, block):
     return cent, rad
 
 
+#: Bound on the sub-blocks used for tile-geometry statistics: keep-score
+#: matrices are built at sub-block granularity ((n_stat, n_stat) f32,
+#: <= 268 MB at the bound) and max-pooled to kernel tiles.
+MAX_STAT_BLOCKS = 8192
+
+
+def _stat_block(npad, block):
+    """Sub-block size for the keep-score geometry statistics.
+
+    The space-filling-curve sort leaves a few *seam* tiles spanning two
+    far-apart patches of the data manifold (measured on the 3D benchmark
+    spheres: median tile radius 2x the compact ideal, p99 ~ 6x). A seam
+    tile's centroid+radius bound is vacuous — ``d_lb = 0`` against most
+    of the cloud — so its keep scores tie and the top-k keeps an
+    *arbitrary* tile set, silently dropping the row's true neighborhood.
+    Computing the bound on small sub-blocks and max-pooling to tiles
+    fixes this: sub-blocks are curve-tight except the rare seam block,
+    and a fat sub-block only *loosens* its own row (keeps extra), never
+    causes a false exclude.
+    """
+    sb = 64
+    while npad // sb > MAX_STAT_BLOCKS:
+        sb *= 2
+    return min(sb, block)
+
+
+def _tile_maxpool(score, bpt):
+    """Max-pool an ``(nI bpt, nJ bpt)`` sub-block score to ``(nI, nJ)``
+    tiles via strided slices: a plain ``reshape(nI, bpt, nJ, bpt)`` puts
+    tiny trailing axes in the minor layout positions, which the TPU pads
+    to (8, 128) tiles — a 64x HBM expansion (16 GB at 4M points)."""
+    if bpt == 1:
+        return score
+    s = functools.reduce(
+        jnp.maximum, [score[:, k::bpt] for k in range(bpt)]
+    )
+    return functools.reduce(
+        jnp.maximum, [s[k::bpt, :] for k in range(bpt)]
+    )
+
+
+def _pair_dist_lb(cx, rx, cy, ry):
+    """Lower bound on pointwise distances between two block partitions:
+    centroid distance minus the two radii (clipped at 0). The centroid
+    distances go through the dot expansion (one MXU matmul at f32-exact
+    precision) so the ``(n_stat, n_stat, D)`` broadcast is never
+    materialized."""
+    sq = (
+        (cx**2).sum(-1)[:, None]
+        + (cy**2).sum(-1)[None, :]
+        - 2.0 * jnp.dot(cx, cy.T, precision=COORD_PRECISION)
+    )
+    dist = jnp.sqrt(jnp.clip(sq, min=1e-12))
+    return jnp.maximum(dist - rx[:, None] - ry[None, :], 0.0)
+
+
 def _cols_from_score(score, cap):
     cap = min(cap, score.shape[1])
     vals, idx = lax.top_k(score, cap)
@@ -201,7 +258,7 @@ def retighten_counts(vals, delta):
 
 
 def build_tile_masks(x, y, f, g, eps, p, truncate, block, cap=None, w_x=None,
-                     w_y=None, sym=False):
+                     w_y=None, sym=False, stat_block=None):
     """Both traversal directions of the truncation pattern, from one score.
 
     ``block`` is used for both row and column tiles (so a cloud can appear
@@ -210,6 +267,20 @@ def build_tile_masks(x, y, f, g, eps, p, truncate, block, cap=None, w_x=None,
     points are excluded from the potential bounds and pure-padding tiles
     are never kept. ``sym=True`` declares the problem symmetric (``y is
     x``, ``g is f``) so the transposed top-k is a free copy.
+
+    The keep score is the *pointwise-centroid* rule of the reference's
+    ``kernel_truncation`` — ``max f + max g - C(centroids) + truncate *
+    eps`` — evaluated at ``stat_block`` sub-block granularity and
+    max-pooled to tiles (see :func:`_stat_block` for why tile-level
+    geometry is unsafe). A rigorous radii-subtracted lower bound on C was
+    tried and rejected: extending every kept disk by the two block radii
+    inflates kept counts ~2.4x past the true set, saturating the cap, and
+    the loose bound's top-k ordering then drops *true* neighbors
+    (measured at 128k: every row saturated at cap=32 while the true set
+    was <= 29, worst row missing 27 of its true tiles). The centroid rule
+    under-keeps only marginal pairs at the keep-radius edge — the
+    ``truncate * eps`` margin's job — and is the rule the coarse-phase
+    tables (``masks_from_coarse``) have validated at every scale.
     """
     nI = x.shape[0] // block
     nJ = y.shape[0] // block
@@ -218,28 +289,41 @@ def build_tile_masks(x, y, f, g, eps, p, truncate, block, cap=None, w_x=None,
     # SMEM budget per launch (see MAX_TABLE_ROWS):
     cap = min(cap, max(8, 225_000 // min(max(nI, nJ), MAX_TABLE_ROWS)))
 
-    cx, rx = tile_stats(x, block)
-    cy, ry = tile_stats(y, block)
-
-    def _masked_max(v, w, nt):
-        v = v.reshape(nt, block)
-        if w is None:
-            return v.max(axis=1), jnp.ones((nt,), bool)
-        wt = w.reshape(nt, block)
-        has_mass = (wt > 0).any(axis=1)
-        v = jnp.where(wt > 0, v, NEG_INF)
-        return v.max(axis=1), has_mass
-
-    f_max, x_mass = _masked_max(f, w_x, nI)
-    g_max, y_mass = _masked_max(g, w_y, nJ)
-
-    dist = jnp.sqrt(
-        jnp.clip(((cx[:, None, :] - cy[None, :, :]) ** 2).sum(-1), min=1e-12)
+    sb = stat_block if stat_block is not None else _stat_block(
+        max(x.shape[0], y.shape[0]), block
     )
-    d_lb = jnp.maximum(dist - rx[:, None] - ry[None, :], 0.0)
-    C_lb = d_lb**2 / 2 if p == 2 else d_lb
-    score = f_max[:, None] + g_max[None, :] - C_lb + truncate * eps  # (nI, nJ)
+    bpt = block // sb
+
+    def _blk_stats(pts, v, w, nt):
+        """Mass-weighted sub-block centroids, masked potential maxima."""
+        pb = pts.reshape(nt, sb, -1)
+        if w is None:
+            return pb.mean(axis=1), v.reshape(nt, sb).max(axis=1), (
+                jnp.ones((nt,), bool)
+            )
+        wt = jnp.maximum(w.reshape(nt, sb), 0.0)
+        wsum = wt.sum(axis=1)
+        cent = (pb * wt[..., None]).sum(axis=1) / jnp.maximum(
+            wsum, 1e-30
+        )[:, None]
+        # Pure-padding blocks: park at the plain mean (never kept anyway).
+        cent = jnp.where(wsum[:, None] > 0, cent, pb.mean(axis=1))
+        vm = jnp.where(wt > 0, v.reshape(nt, sb), NEG_INF).max(axis=1)
+        return cent, vm, wsum > 0
+
+    cx, f_max, x_mass = _blk_stats(x, f, w_x, x.shape[0] // sb)
+    cy, g_max, y_mass = _blk_stats(y, g, w_y, y.shape[0] // sb)
+
+    sq = (
+        (cx**2).sum(-1)[:, None]
+        + (cy**2).sum(-1)[None, :]
+        - 2.0 * jnp.dot(cx, cy.T, precision=COORD_PRECISION)
+    )
+    sq = jnp.clip(sq, min=0.0)
+    C_c = sq / 2 if p == 2 else jnp.sqrt(jnp.clip(sq, min=1e-12))
+    score = f_max[:, None] + g_max[None, :] - C_c + truncate * eps
     score = jnp.where(x_mass[:, None] & y_mass[None, :], score, NEG_INF)
+    score = _tile_maxpool(score, bpt)  # (nI, nJ)
 
     cols, counts, vals = _cols_from_score(score, cap)
     if sym:
@@ -954,12 +1038,14 @@ def softmin_sparse(eps, C_xy, h, p=2, block=256):
 
 
 def masks_from_geometry(x, y, radius, block, cap=None, w_x=None, w_y=None,
-                        sym=False):
+                        sym=False, stat_block=None):
     """Tile masks from a pure distance rule: keep tile pairs whose minimum
     possible pairwise distance (centroid distance minus radii) is below
     ``radius``. This is the rigorous version of the reference's
     MMD truncation (``_legacy/kernel_samples.py:242-256``: centroid
-    distance <= (truncate + cell_diameter) in blur units).
+    distance <= (truncate + cell_diameter) in blur units). The bound is
+    evaluated at ``stat_block`` sub-block granularity and min-pooled to
+    tiles (see :func:`_stat_block`).
 
     Zero-weight (padding) tiles are never kept. ``sym=True`` declares the
     problem symmetric (``y is x``) so the transposed top-k is a free copy.
@@ -970,21 +1056,26 @@ def masks_from_geometry(x, y, radius, block, cap=None, w_x=None, w_y=None,
         cap = max(8, min(nJ // 8, 128))
     cap = min(cap, max(8, 400_000 // (4 * min(max(nI, nJ), MAX_TABLE_ROWS))))
 
-    cx, rx = tile_stats(x, block)
-    cy, ry = tile_stats(y, block)
-    dist = jnp.sqrt(
-        jnp.clip(((cx[:, None, :] - cy[None, :, :]) ** 2).sum(-1), min=1e-12)
+    sb = stat_block if stat_block is not None else _stat_block(
+        max(x.shape[0], y.shape[0]), block
     )
-    d_lb = jnp.maximum(dist - rx[:, None] - ry[None, :], 0.0)
+    bpt = block // sb
+    cx, rx = tile_stats(x, sb)
+    cy, ry = tile_stats(y, sb)
+    d_lb = _pair_dist_lb(cx, rx, cy, ry)
     score = radius - d_lb  # > 0 <=> kept
 
-    def tile_mass(w, nt):
+    def blk_mass(w, nt):
         if w is None:
             return jnp.ones((nt,), bool)
-        return (w.reshape(nt, block) > 0).any(axis=1)
+        return (w.reshape(nt, sb) > 0).any(axis=1)
 
-    valid = tile_mass(w_x, nI)[:, None] & tile_mass(w_y, nJ)[None, :]
+    valid = (
+        blk_mass(w_x, x.shape[0] // sb)[:, None]
+        & blk_mass(w_y, y.shape[0] // sb)[None, :]
+    )
     score = jnp.where(valid, score, NEG_INF)
+    score = _tile_maxpool(score, bpt)  # (nI, nJ)
 
     cols, counts, vals = _cols_from_score(score, cap)
     if sym:

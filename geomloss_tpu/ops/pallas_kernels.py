@@ -275,7 +275,7 @@ def lse_pallas(
 
 def _pair_step_kernel(
     eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref, sqx_ref, sqy_ref,
-    r_ref, c_ref, racc_ref, *, p, with_cols
+    r_ref, c_ref, racc_ref, *, p, with_cols, exact=True
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -291,8 +291,11 @@ def _pair_step_kernel(
     else:
         scores = _scores_dot(xhT_ref[:], yhT_ref[:])
         sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
-        # f32 noise floor of the expansion form: see _lse_kernel.
-        d = jnp.where(sq > 2e-6 * (sqx_ref[:] + sqy_ref[:]),
+        # Noise floor of the expansion form: f32-split 2e-6 (see
+        # _lse_kernel); plain-bf16 warm sweeps carry ~2^-8 relative dot
+        # noise instead, so the diagonal-zeroing floor rises with it.
+        floor = 2e-6 if exact else 8e-3
+        d = jnp.where(sq > floor * (sqx_ref[:] + sqy_ref[:]),
                       jnp.sqrt(jnp.maximum(sq, 1e-8)), 0.0)
         E = phi_ref[:] + (psi_ref[:] - d * c2)
     W = jnp.exp2(E)
@@ -312,7 +315,7 @@ _SUM_FLOOR = 1e-37
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "sym", "block_n", "block_m")
+    jax.jit, static_argnames=("p", "sym", "block_n", "block_m", "exact")
 )
 def sinkhorn_step_pallas(
     x,
@@ -326,6 +329,7 @@ def sinkhorn_step_pallas(
     sym=False,
     block_n=DEFAULT_BLOCK_N,
     block_m=DEFAULT_BLOCK_M,
+    exact=True,
 ):
     """Both raw softmin values of one symmetric Sinkhorn iteration.
 
@@ -334,6 +338,14 @@ def sinkhorn_step_pallas(
         g: ``(M,)`` current potential on y; loga/logb: log-weights;
         eps: temperature; sym: if True, the problem is symmetric
         (``y is x``, ``g is f``) and only the row direction is computed.
+        exact: with ``False``, skip the 6-channel split-operand expansion
+            and feed raw f32 coordinates to the MXU (bf16 multipliers,
+            ~6x less matrix work). The pairwise scores then carry
+            ``~2^-9 |x||y|`` absolute noise — negligible in the exponent
+            for *warm* annealing iterations (``eps >> score noise``), and
+            any potential perturbation (``~ the score noise``, eps-free)
+            is halved by every later exact averaged update. Callers keep
+            the cold tail and every differentiable pass exact.
 
     Returns:
         ``(S_xy, S_yx)`` with ``S_xy[i] = -eps*LSE_j(logb_j + (g_j - C_ij)/eps)``
@@ -361,7 +373,7 @@ def sinkhorn_step_pallas(
 
     xT = _pad_axis(x32.T, 1, Np)
     yT = _pad_axis(y32.T, 1, Mp)
-    xhT, yhT = _split6_pair(xT, yT)
+    xhT, yhT = _split6_pair(xT, yT) if exact else (xT, yT)
     phi_col = _pad_axis(phi[:, None], 0, Np, value=NEG_INF)  # (Np, 1)
     psi_row = _pad_axis(psi[None, :], 1, Mp, value=NEG_INF)  # (1, Mp)
     sqx = _pad_axis(((x32**2).sum(-1))[:, None], 0, Np)
@@ -383,7 +395,9 @@ def sinkhorn_step_pallas(
         pl.BlockSpec((1, 1, bm), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
     ]
     r, c_part = pl.pallas_call(
-        functools.partial(_pair_step_kernel, p=p, with_cols=with_cols),
+        functools.partial(
+            _pair_step_kernel, p=p, with_cols=with_cols, exact=exact
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -426,7 +440,7 @@ def sinkhorn_step_pallas(
 
 def _sym_step_kernel(
     it_ref, jt_ref, eps_ref, xhT_r_ref, xhT_c_ref, phi_col_ref, phi_row_ref,
-    sqx_ref, sqy_ref, r_ref, c_ref, *, p
+    sqx_ref, sqy_ref, r_ref, c_ref, *, p, exact=True
 ):
     t = pl.program_id(0)
     it, jt = it_ref[t], jt_ref[t]
@@ -437,8 +451,9 @@ def _sym_step_kernel(
         E = phi_col_ref[:] + (phi_row_ref[:] + scores * c2)
     else:
         sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
-        # f32 noise floor of the expansion form: see _lse_kernel.
-        d = jnp.where(sq > 2e-6 * (sqx_ref[:] + sqy_ref[:]),
+        # Noise floor of the expansion form: see _pair_step_kernel.
+        floor = 2e-6 if exact else 8e-3
+        d = jnp.where(sq > floor * (sqx_ref[:] + sqy_ref[:]),
                       jnp.sqrt(jnp.maximum(sq, 1e-8)), 0.0)
         E = phi_col_ref[:] + (phi_row_ref[:] - d * c2)
     W = jnp.exp2(E)
@@ -472,13 +487,15 @@ def _triangle_tables(nb):
     return jnp.asarray(ii, jnp.int32), jnp.asarray(jj, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "block"))
-def sinkhorn_step_sym_pallas(x, f, loga, eps, p=2, block=SYM_BLOCK):
+@functools.partial(jax.jit, static_argnames=("p", "block", "exact"))
+def sinkhorn_step_sym_pallas(x, f, loga, eps, p=2, block=SYM_BLOCK,
+                             exact=True):
     """Symmetric-problem fused step over the upper triangle only.
 
     Returns ``S[i] = -eps*LSE_j(loga_j + (f_j - C_ij)/eps)`` (same value
     as ``sinkhorn_step_pallas(x, x, f, f, loga, loga, eps, sym=True)[0]``
-    at half the pair count).
+    at half the pair count). ``exact=False`` uses plain-bf16 MXU scores
+    for warm annealing iterations (see :func:`sinkhorn_step_pallas`).
     """
     N, D = x.shape
     bn = min(block, max(128, N))
@@ -495,7 +512,7 @@ def sinkhorn_step_sym_pallas(x, f, loga, eps, p=2, block=SYM_BLOCK):
         phi = phi - (0.5 * LOG2E / eps32) * (x32**2).sum(-1)
 
     xT = _pad_axis(x32.T, 1, Np)
-    xhT, yhT = _split6_pair(xT, xT)
+    xhT, yhT = _split6_pair(xT, xT) if exact else (xT, xT)
     phi_col = _pad_axis(phi[:, None], 0, Np, value=NEG_INF)  # (Np, 1)
     phi_row = _pad_axis(phi[None, :], 1, Np, value=NEG_INF)  # (1, Np)
     sqx = _pad_axis(((x32**2).sum(-1))[:, None], 0, Np)
@@ -524,7 +541,7 @@ def sinkhorn_step_sym_pallas(x, f, loga, eps, p=2, block=SYM_BLOCK):
         scratch_shapes=[],
     )
     r, c_part = pl.pallas_call(
-        functools.partial(_sym_step_kernel, p=p),
+        functools.partial(_sym_step_kernel, p=p, exact=exact),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Np, 1), f32),

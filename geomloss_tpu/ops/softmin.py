@@ -171,7 +171,8 @@ def _lse_points_raw(x, y, h, eps, p, impl):
 # ------------------------------------------------------------------------------
 
 
-def sinkhorn_step_points(eps, x, y, a_log, b_log, f, g, p=2, impl="auto", sym=False):
+def sinkhorn_step_points(eps, x, y, a_log, b_log, f, g, p=2, impl="auto",
+                         sym=False, exact=True):
     r"""Both raw softmin values of one Jacobi-style Sinkhorn iteration:
 
     ``S_xy[i] = -eps*LSE_j(b_log_j + (g_j - C_ij)/eps)`` and
@@ -182,6 +183,8 @@ def sinkhorn_step_points(eps, x, y, a_log, b_log, f, g, p=2, impl="auto", sym=Fa
     the work of two independent softmin sweeps, with no running-max pass.
     Elsewhere it falls back to two streaming LSEs (identical math). With
     ``sym=True`` only the row direction is computed (``S_yx is None``).
+    ``exact=False`` selects plain-bf16 MXU scores for warm annealing
+    iterations on the Pallas path (other impls are always exact).
     """
     impl = _resolve_impl(impl, x.shape[0], y.shape[0])
     if impl == "pallas":
@@ -193,8 +196,13 @@ def sinkhorn_step_points(eps, x, y, a_log, b_log, f, g, p=2, impl="auto", sym=Fa
 
         if sym and x is y and f is g and sym_triangle_fits(x.shape[0]):
             # Upper-triangle walk: half the pair count (W is symmetric).
-            return sinkhorn_step_sym_pallas(x, f, a_log, eps, p=p), None
-        return sinkhorn_step_pallas(x, y, f, g, a_log, b_log, eps, p=p, sym=sym)
+            return (
+                sinkhorn_step_sym_pallas(x, f, a_log, eps, p=p, exact=exact),
+                None,
+            )
+        return sinkhorn_step_pallas(
+            x, y, f, g, a_log, b_log, eps, p=p, sym=sym, exact=exact
+        )
     lse = _lse_dense if impl == "dense" else _lse_scan
     S_xy = -eps * lse(x, y, b_log + g / eps, eps, p)
     if sym:

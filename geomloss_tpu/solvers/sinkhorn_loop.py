@@ -174,7 +174,7 @@ def _detach(tree):
 
 def _scan_segment(
     softmin, carry, eps_seg, rho, C_xy, C_yx, C_xx, C_yy, a_log, b_log, debias,
-    fused_step=None,
+    fused_step=None, exact=True,
 ):
     """Run a contiguous run of symmetric Sinkhorn iterations as one scan."""
     dtype = a_log.dtype
@@ -189,14 +189,18 @@ def _scan_segment(
         if fused_step is not None:
             # Both directions from one pass over the pair interactions
             # (see ops/softmin.py::sinkhorn_step_points).
-            S_xy, S_yx = fused_step(eps, C_xy, C_yx, a_log, b_log, f_ba, g_ab)
+            S_xy, S_yx = fused_step(
+                eps, C_xy, C_yx, a_log, b_log, f_ba, g_ab, exact=exact
+            )
             ft_ba, gt_ab = damp * S_xy, damp * S_yx
             if debias:
                 ft_aa = damp * fused_step(
-                    eps, C_xx, C_xx, a_log, a_log, f_aa, f_aa, sym=True
+                    eps, C_xx, C_xx, a_log, a_log, f_aa, f_aa, sym=True,
+                    exact=exact,
                 )[0]
                 gt_bb = damp * fused_step(
-                    eps, C_yy, C_yy, b_log, b_log, g_bb, g_bb, sym=True
+                    eps, C_yy, C_yy, b_log, b_log, g_bb, g_bb, sym=True,
+                    exact=exact,
                 )[0]
         else:
             ft_ba = damp * softmin(eps, C_xy, b_log + g_ab / eps)
@@ -235,6 +239,7 @@ def sinkhorn_loop(
     init_potentials: Optional[Any] = None,
     fused_step: Optional[Callable] = None,
     fused_last: Optional[Callable] = None,
+    warm_iters: int = 0,
 ):
     r"""(Possibly multiscale) symmetric Sinkhorn loop with annealing.
 
@@ -254,12 +259,20 @@ def sinkhorn_loop(
     combined with a short constant schedule this makes gradient-flow steps
     much cheaper.
 
-    ``fused_step(eps, C_ab, C_ba, a_log, b_log, f, g, sym=False)``, when
-    given, replaces the 2/4 per-iteration softmin calls inside scan
-    segments (and the eps0 initialization) with backend-fused updates
-    returning both raw softmin directions at once — same math, half the
-    sweeps. Jump iterations and the final extrapolation still go through
-    ``softmin``.
+    ``fused_step(eps, C_ab, C_ba, a_log, b_log, f, g, sym=False,
+    exact=True)``, when given, replaces the 2/4 per-iteration softmin
+    calls inside scan segments (and the eps0 initialization) with
+    backend-fused updates returning both raw softmin directions at once —
+    same math, half the sweeps. Jump iterations and the final
+    extrapolation still go through ``softmin``.
+
+    ``warm_iters`` (static): the first ``warm_iters`` annealing
+    iterations call ``fused_step`` with ``exact=False`` — on the Pallas
+    backend that is a plain-bf16 MXU score pass (~6x less matrix work
+    than the f32-exact split-operand expansion). Callers pick the count
+    so that the bf16 score noise is negligible at those iterations' own
+    temperatures AND enough exact closing iterations remain to contract
+    any leftover perturbation (see ``models/sinkhorn_samples.py``).
     """
     if not isinstance(a_logs, list):
         a_logs, b_logs = [a_logs], [b_logs]
@@ -298,12 +311,17 @@ def sinkhorn_loop(
             g_bb = jnp.zeros_like(g_ab)
     elif fused_step is not None:
         # The eps0 initialization is the fused step at zero potentials:
+        ex0 = warm_iters <= 0
         zf, zg = jnp.zeros_like(a_log), jnp.zeros_like(b_log)
-        S_xy, S_yx = fused_step(eps, C_xy, C_yx, a_log, b_log, zf, zg)
+        S_xy, S_yx = fused_step(eps, C_xy, C_yx, a_log, b_log, zf, zg, exact=ex0)
         f_ba, g_ab = damping * S_xy, damping * S_yx
         if debias:
-            f_aa = damping * fused_step(eps, C_xx, C_xx, a_log, a_log, zf, zf, sym=True)[0]
-            g_bb = damping * fused_step(eps, C_yy, C_yy, b_log, b_log, zg, zg, sym=True)[0]
+            f_aa = damping * fused_step(
+                eps, C_xx, C_xx, a_log, a_log, zf, zf, sym=True, exact=ex0
+            )[0]
+            g_bb = damping * fused_step(
+                eps, C_yy, C_yy, b_log, b_log, zg, zg, sym=True, exact=ex0
+            )[0]
         else:
             f_aa = jnp.zeros_like(f_ba)
             g_bb = jnp.zeros_like(g_ab)
@@ -327,21 +345,29 @@ def sinkhorn_loop(
 
     for jump in boundaries + [None]:
         seg_end = Nits if jump is None else jump + 1
-        if seg_end > seg_start:
-            carry = _scan_segment(
-                softmin,
-                carry,
-                eps_list[seg_start:seg_end],
-                rho,
-                C_xy,
-                C_yx,
-                C_xx,
-                C_yy,
-                a_log,
-                b_log,
-                debias,
-                fused_step=fused_step,
-            )
+        # Split each scan segment at the warm/exact precision boundary
+        # (the `exact` flag is static per compiled kernel):
+        cuts = [seg_start]
+        if seg_start < warm_iters < seg_end:
+            cuts.append(warm_iters)
+        cuts.append(seg_end)
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            if hi > lo:
+                carry = _scan_segment(
+                    softmin,
+                    carry,
+                    eps_list[lo:hi],
+                    rho,
+                    C_xy,
+                    C_yx,
+                    C_xx,
+                    C_yy,
+                    a_log,
+                    b_log,
+                    debias,
+                    fused_step=fused_step,
+                    exact=lo >= warm_iters,
+                )
         seg_start = seg_end
         if jump is None:
             break
