@@ -26,30 +26,28 @@ def _softmin(eps, p, h, D=2):  # grid softmin over the last D axes of (B,K,...)
 def barycenter_iteration(f_k, g_k, d_log, eps, p, ak_log, w_k, D=2):
     """One symmetric barycenter iteration (reference ``:6-31``).
 
+    Thin grid adapter over the library's *single* shared barycenter
+    iteration (``solvers.barycenters.barycenter_iteration``): the cost
+    descriptor is the implicit separable grid kernel ``(p, D)`` and the
+    softmin is the separable matmul-exp of ``ops/grid.py``.
+
     Shapes: f_k, g_k, ak_log are ``(B, K, *grid)``; d_log is
     ``(B, 1, *grid)``; w_k is ``(B, K)``. ``D`` is the number of grid axes
     (the reference only supports D=2).
     """
-    w = w_k.reshape(w_k.shape + (1,) * D)  # (B, K, 1...)
+    from ..solvers.barycenters import barycenter_iteration as shared_iteration
+    from ..utils.typing import CostMatrices
 
-    # Sinkhorn "pseudo-step" — from the measures to the barycenter:
-    ft_k = _softmin(eps, p, ak_log + g_k / eps, D) / eps  # (B,K,*grid)
-    bar_log = d_log - (ft_k * w).sum(1, keepdims=True)
+    desc = (p, D)
+    C = CostMatrices(xy=desc, yx=desc, xx=desc)
 
-    # Symmetric Sinkhorn updates:
-    ft_k = _softmin(eps, p, ak_log + g_k / eps, D)  # measures -> barycenter
-    gt_k = _softmin(eps, p, bar_log + f_k / eps, D)  # barycenter -> measures
-    f_k = (f_k + ft_k) / 2
-    g_k = (g_k + gt_k) / 2
+    def softmin(eps, C_, h):
+        return _softmin(eps, C_[0], h, C_[1])
 
-    # Pseudo-step again, with the updated potentials:
-    ft_k = _softmin(eps, p, ak_log + g_k / eps, D) / eps
-    bar_log = d_log - (ft_k * w).sum(1, keepdims=True)
-
-    # Update the de-biasing measure:
-    d_log = 0.5 * (d_log + bar_log + _softmin(eps, p, d_log, D) / eps)
-
-    return f_k, g_k, d_log, bar_log
+    return shared_iteration(
+        softmin=softmin, f_k=f_k, g_k=g_k, log_d=d_log, eps=eps, C=C,
+        log_b_k=ak_log, w_k=w_k,
+    )
 
 
 def ImagesBarycenter(
