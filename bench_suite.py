@@ -17,6 +17,9 @@ from bench import sphere_cloud, warm_up_program_load
 MAXTIME = 60.0  # seconds per config, like the reference's MAXTIME guard
 
 
+RESULTS = {}
+
+
 def run_config(name, make_step, ns):
     import jax
     import jax.numpy as jnp
@@ -39,6 +42,7 @@ def run_config(name, make_step, ns):
         except Exception as e:  # noqa: BLE001 - report and move on
             print(json.dumps({"metric": f"{name}_N{n}", "error": str(e)[:200]}))
             continue
+        RESULTS[f"{name}_N{n}"] = dt * 1e3
         print(
             json.dumps(
                 {
@@ -48,7 +52,8 @@ def run_config(name, make_step, ns):
                     "compile_s": round(compile_s, 1),
                     "loss_value": float(v),
                 }
-            )
+            ),
+            flush=True,
         )
         if dt > MAXTIME:
             break
@@ -62,10 +67,10 @@ def main():
     # the tunneled runtime (see bench.py::warm_up_program_load):
     warm_up_program_load()
 
-    def sinkhorn_step(backend):
+    def sinkhorn_step(backend, blur):
         def make(n):
             loss = SamplesLoss(
-                "sinkhorn", p=2, blur=0.05, diameter=2.0, scaling=0.5,
+                "sinkhorn", p=2, blur=blur, diameter=2.0, scaling=0.5,
                 backend=backend,
             )
             return jax.jit(jax.value_and_grad(lambda x, y: loss(x, y)))
@@ -79,16 +84,53 @@ def main():
 
         return make
 
+    # Reference protocol (plot_benchmarks_samplesloss_3D.py:24-45): Sinkhorn
+    # at blur .05 AND .01, MMDs at their default blurs, N sweep to millions.
     run_config(
         "sinkhorn_multiscale_blur.05",
-        sinkhorn_step("multiscale"),
-        [10_000, 100_000, 1_000_000, 4_000_000],
+        sinkhorn_step("multiscale", 0.05),
+        [10_000, 100_000, 1_000_000, 2_000_000, 4_000_000],
     )
     run_config(
-        "sinkhorn_online_blur.05", sinkhorn_step("online"), [10_000, 100_000]
+        "sinkhorn_multiscale_blur.01",
+        sinkhorn_step("multiscale", 0.01),
+        [10_000, 100_000, 1_000_000],
     )
-    run_config("gaussian_mmd_blur.1", kernel_step("gaussian", 0.1), [10_000, 100_000])
+    run_config(
+        "sinkhorn_online_blur.05",
+        sinkhorn_step("online", 0.05),
+        [10_000, 100_000],
+    )
+    run_config(
+        "sinkhorn_online_blur.01",
+        sinkhorn_step("online", 0.01),
+        [10_000, 100_000],
+    )
+    run_config(
+        "gaussian_mmd_blur.1",
+        kernel_step("gaussian", 0.1),
+        [10_000, 100_000, 1_000_000],
+    )
     run_config("energy_mmd", kernel_step("energy", None), [10_000, 100_000])
+
+    # The reference's headline ε-scaling claim: tightening blur .05 -> .01
+    # costs only ~2x (plot_benchmarks_ot_3D.py:488-492), not the ~25x a
+    # fixed-temperature Sinkhorn would pay.
+    for backend in ("multiscale", "online"):
+        for n in (100_000, 1_000_000):
+            t05 = RESULTS.get(f"sinkhorn_{backend}_blur.05_N{n}")
+            t01 = RESULTS.get(f"sinkhorn_{backend}_blur.01_N{n}")
+            if t05 and t01:
+                print(
+                    json.dumps(
+                        {
+                            "metric": f"blur.01_over_.05_{backend}_N{n}",
+                            "value": round(t01 / t05, 2),
+                            "unit": "x",
+                        }
+                    ),
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":

@@ -264,6 +264,122 @@ def fine_cap_schedule(eps_fine, eps_j, cap0):
     return groups
 
 
+def mid_delay(n_max, eps_list, jump, scaling, p):
+    """Number of post-jump annealing steps to spend on the pooled
+    intermediate scale (0 = classic two-scale descent).
+
+    The fine truncation tables hold at most ``cap`` (<= 128) column tiles
+    per row tile; at the jump temperature the kept neighborhood covers a
+    *fixed fraction* of the cloud (the keep radius ``~ sqrt(truncate *
+    cluster_scale^p)`` and the default cluster scale are both
+    N-independent), so beyond ~1M points the table would clip real
+    neighbors and bias the loss. Each annealing step shrinks the kept
+    fraction by ``scaling^p``: delaying fine entry by ``n_delay`` steps
+    keeps visited fine pairs per point bounded as N grows — the cascade
+    the reference hints at but never implements (its two-scale loop at
+    ``_legacy/sinkhorn_samples.py:622-651`` has the same clipping issue
+    under KeOps ranges, reported as "millions of samples" reach).
+    """
+    if n_max <= N_FINE_OK:
+        return 0
+    sp = float(scaling) ** p
+    n_delay = int(np.ceil(np.log(n_max / N_FINE_OK) / np.log(1.0 / sp)))
+    return min(n_delay, len(eps_list) - 1 - jump)
+
+
+def run_mid_phase(
+    sm,
+    carry,
+    x_cd,
+    y_cd,
+    a_log_c,
+    b_log_c,
+    a_s,
+    b_s,
+    x_sd,
+    y_sd,
+    eps_list,
+    jump,
+    n_delay,
+    rho,
+    debias,
+    dtype,
+    block_size,
+    scaling,
+    verbose=False,
+):
+    """Pooled intermediate-scale phase between the coarse and fine scales.
+
+    Runs the first ``n_delay`` post-jump temperatures on a cloud of
+    pooled mid-blocks (dense streaming sweeps on <= ~2^16 points —
+    microseconds of MXU work). Entirely detached: the mid phase is never
+    the differentiable tail. Returns the updated potential ``carry`` plus
+    the mid cloud ``(x_md, y_md, a_log_m, b_log_m)`` that replaces the
+    coarse state for the subsequent fine extrapolation/truncation.
+    """
+    sg = lax.stop_gradient
+    f_ba, g_ab, f_aa, g_bb = carry
+    D = x_sd.shape[1]
+    eps_j = eps_list[jump]
+    damp_j = dampening(eps_j, rho)
+
+    # Mid resolution: pooled blocks whose spatial extent tracks the
+    # entry temperature (diameter ~ sqrt(points) on a 2D manifold, the
+    # reference's stated regime): b_mid <= block_size * scaling^(2 n).
+    b_mid = 1 << max(
+        0,
+        int(np.floor(np.log2(block_size * float(scaling) ** (2 * n_delay)))),
+    )
+    if _B_MID_OVERRIDE is not None:
+        b_mid = _B_MID_OVERRIDE
+
+    def pool_mid(w, pts):
+        wb = w.reshape(-1, b_mid)
+        pb = pts.reshape(-1, b_mid, D)
+        wsum = wb.sum(1)
+        cent = (pb * wb[..., None]).sum(1) / jnp.maximum(wsum, 1e-30)[:, None]
+        # Zero-mass (padding) blocks: park at the plain mean.
+        return wsum, jnp.where(wsum[:, None] > 0, cent, pb.mean(1))
+
+    aw_m, x_m = pool_mid(sg(a_s), x_sd)
+    bw_m, y_m = pool_mid(sg(b_s), y_sd)
+    a_log_m, b_log_m = log_weights(aw_m), log_weights(bw_m)
+    x_md, y_md = sg(x_m), sg(y_m)
+
+    if verbose:
+        print(
+            f"Intermediate scale: {x_m.shape[0]}x{y_m.shape[0]} pooled "
+            f"blocks of {b_mid} for {n_delay} iteration(s) after the jump."
+        )
+
+    # Extrapolate coarse -> mid (detached):
+    f_ba_m = damp_j * sm(eps_j, (x_md, y_cd), sg(b_log_c + g_ab / eps_j))
+    g_ab_m = damp_j * sm(eps_j, (y_md, x_cd), sg(a_log_c + f_ba / eps_j))
+    if debias:
+        f_aa_m = damp_j * sm(eps_j, (x_md, x_cd), sg(a_log_c + f_aa / eps_j))
+        g_bb_m = damp_j * sm(eps_j, (y_md, y_cd), sg(b_log_c + g_bb / eps_j))
+    else:
+        f_aa_m = jnp.zeros_like(f_ba_m)
+        g_bb_m = jnp.zeros_like(g_ab_m)
+
+    mid_fns = (
+        lambda e, h: sm(e, (x_md, y_md), h),
+        lambda e, h: sm(e, (y_md, x_md), h),
+        lambda e, h: sm(e, (x_md, x_md), h),
+        lambda e, h: sm(e, (y_md, y_md), h),
+    )
+    carry = _scan_iterations(
+        mid_fns,
+        (f_ba_m, g_ab_m, f_aa_m, g_bb_m),
+        eps_list[jump + 1 : jump + n_delay + 1],
+        rho,
+        (a_log_m, b_log_m),
+        debias,
+        dtype,
+    )
+    return carry, x_md, y_md, a_log_m, b_log_m
+
+
 def _scan_iterations(
     softmin_fns, carry, eps_seg, rho, h_builders, debias, dtype, fused=None,
     fused_xs=None,
@@ -437,81 +553,32 @@ def sinkhorn_multiscale(
     last_is_jump = jump == len(eps_list) - 1
 
     # --- Optional intermediate scale (third scale, round-3 extension) ----------
-    # The fine truncation tables hold at most ``cap`` (<= 128) column tiles
-    # per row tile; at the jump temperature the kept neighborhood covers a
-    # *fixed fraction* of the cloud (the keep radius ~ sqrt(truncate *
-    # cluster_scale^p) and the default cluster scale are both
-    # N-independent), so beyond ~1M points the table would clip real
-    # neighbors and bias the loss. Each annealing step shrinks the kept
-    # fraction by ``scaling^p``: run the first ``n_delay`` post-jump
-    # temperatures on an intermediate cloud of pooled mid-blocks (dense
-    # streaming sweeps on <= ~2^16 points — microseconds of MXU work) and
-    # enter the fine phase only once its table fits. This keeps visited
-    # fine pairs per point bounded as N grows — the cascade the reference
-    # hints at but never implements (its two-scale loop at
-    # ``_legacy/sinkhorn_samples.py:622-651`` has the same clipping issue
-    # under KeOps ranges, reported as "millions of samples" reach).
+    # See :func:`mid_delay` / :func:`run_mid_phase`.
     n_delay = 0
-    if truncate is not None and not last_is_jump and max(N, M) > N_FINE_OK:
-        sp = float(scaling) ** p
-        n_delay = int(np.ceil(np.log(max(N, M) / N_FINE_OK) / np.log(1.0 / sp)))
-        n_delay = min(n_delay, len(eps_list) - 1 - jump)
+    if truncate is not None and not last_is_jump:
+        n_delay = mid_delay(max(N, M), eps_list, jump, scaling, p)
 
     if n_delay > 0:
-        # Mid resolution: pooled blocks whose spatial extent tracks the
-        # entry temperature (diameter ~ sqrt(points) on a 2D manifold, the
-        # reference's stated regime): b_mid <= block_size * scaling^(2 n).
-        b_mid = 1 << max(
-            0,
-            int(np.floor(np.log2(block_size * float(scaling) ** (2 * n_delay)))),
-        )
-        if _B_MID_OVERRIDE is not None:
-            b_mid = _B_MID_OVERRIDE
-
-        def pool_mid(w, pts):
-            wb = w.reshape(-1, b_mid)
-            pb = pts.reshape(-1, b_mid, D)
-            wsum = wb.sum(1)
-            cent = (pb * wb[..., None]).sum(1) / jnp.maximum(wsum, 1e-30)[:, None]
-            # Zero-mass (padding) blocks: park at the plain mean.
-            return wsum, jnp.where(wsum[:, None] > 0, cent, pb.mean(1))
-
-        aw_m, x_m = pool_mid(sg(a_s), x_sd)
-        bw_m, y_m = pool_mid(sg(b_s), y_sd)
-        a_log_m, b_log_m = log_weights(aw_m), log_weights(bw_m)
-        x_md, y_md = sg(x_m), sg(y_m)
-
-        if verbose:
-            print(
-                f"Intermediate scale: {x_m.shape[0]}x{y_m.shape[0]} pooled "
-                f"blocks of {b_mid} for {n_delay} iteration(s) after the jump."
-            )
-
-        # Extrapolate coarse -> mid (detached; the mid phase is never the
-        # differentiable tail — n_delay keeps at least one fine iteration):
-        f_ba_m = damp_j * sm(eps_j, (x_md, y_cd), sg(b_log_c + g_ab / eps_j))
-        g_ab_m = damp_j * sm(eps_j, (y_md, x_cd), sg(a_log_c + f_ba / eps_j))
-        if debias:
-            f_aa_m = damp_j * sm(eps_j, (x_md, x_cd), sg(a_log_c + f_aa / eps_j))
-            g_bb_m = damp_j * sm(eps_j, (y_md, y_cd), sg(b_log_c + g_bb / eps_j))
-        else:
-            f_aa_m = jnp.zeros_like(f_ba_m)
-            g_bb_m = jnp.zeros_like(g_ab_m)
-
-        mid_fns = (
-            lambda e, h: sm(e, (x_md, y_md), h),
-            lambda e, h: sm(e, (y_md, x_md), h),
-            lambda e, h: sm(e, (x_md, x_md), h),
-            lambda e, h: sm(e, (y_md, y_md), h),
-        )
-        f_ba, g_ab, f_aa, g_bb = _scan_iterations(
-            mid_fns,
-            (f_ba_m, g_ab_m, f_aa_m, g_bb_m),
-            eps_list[jump + 1 : jump + n_delay + 1],
+        (f_ba, g_ab, f_aa, g_bb), x_md, y_md, a_log_m, b_log_m = run_mid_phase(
+            sm,
+            (f_ba, g_ab, f_aa, g_bb),
+            x_cd,
+            y_cd,
+            a_log_c,
+            b_log_c,
+            a_s,
+            b_s,
+            x_sd,
+            y_sd,
+            eps_list,
+            jump,
+            n_delay,
             rho,
-            (a_log_m, b_log_m),
             debias,
             dtype,
+            block_size,
+            scaling,
+            verbose=verbose,
         )
 
         # Rebase the jump onto the mid scale: the generic fine

@@ -46,10 +46,13 @@ from ..models.multiscale import (
     default_cluster_scale,
     fine_cap_schedule,
     jump_index,
+    mid_delay,
+    run_mid_phase,
     spatial_sort_blocks,
 )
 from ..ops.block_sparse import (
     _absorbed_sum,
+    build_tile_masks,
     masks_from_coarse,
     retighten_counts,
     softmin_extrapolation_sparse_dir,
@@ -78,11 +81,14 @@ def sinkhorn_multiscale_sharded(
     cluster_scale=None,
     debias=True,
     potentials=False,
+    labels_x=None,
+    labels_y=None,
     tile="auto",
     block_size="auto",
     target_clusters=2000,
     cap=None,
     impl="auto",
+    verbose=False,
 ):
     """Debiased multiscale Sinkhorn divergence with the truncated fine
     phase sharded across a 1D device mesh.
@@ -132,26 +138,20 @@ def sinkhorn_multiscale_sharded(
     pad_multiple = tile * R
 
     # --- Replicated prologue ------------------------------------------------
-    # N.B.: the sort / coarse-solve / extrapolation / mask sequence below
-    # mirrors models/multiscale.py::sinkhorn_multiscale (minus its labels
-    # and jump-on-last-iteration handling) — keep the two in sync when
-    # touching either. The parity tests in tests/test_multiscale_sharded.py
-    # pin their agreement.
+    # N.B.: the sort / coarse-solve / mid-phase / extrapolation / mask
+    # sequence below mirrors models/multiscale.py::sinkhorn_multiscale —
+    # keep the two in sync when touching either. The parity tests in
+    # tests/test_multiscale_sharded.py pin their agreement.
     (aw_c, a_s), (x_c, x_s), perm_x = spatial_sort_blocks(
-        a, x, cluster_scale, diameter, block_size, pad_multiple=pad_multiple
+        a, x, cluster_scale, diameter, block_size, pad_multiple=pad_multiple,
+        labels=labels_x,
     )
     (bw_c, b_s), (y_c, y_s), perm_y = spatial_sort_blocks(
-        b, y, cluster_scale, diameter, block_size, pad_multiple=pad_multiple
+        b, y, cluster_scale, diameter, block_size, pad_multiple=pad_multiple,
+        labels=labels_y,
     )
 
     jump = jump_index(eps_list, cluster_scale, p)
-    if jump >= len(eps_list) - 1:
-        raise NotImplementedError(
-            "The annealing schedule never reaches the fine scale "
-            "(cluster_scale too small or blur too large): there is no fine "
-            "phase to shard. Use the single-device multiscale or online "
-            "backend for this configuration."
-        )
 
     sg = lax.stop_gradient
     dtype = x_s.dtype
@@ -191,33 +191,99 @@ def sinkhorn_multiscale_sharded(
 
     eps_j = eps_list[jump]
     damp_j = dampening(eps_j, rho)
+    last_is_jump = jump == len(eps_list) - 1
 
-    # Extrapolation onto the fine clouds (detached, replicated):
-    f_ba_f = damp_j * sm(eps_j, (x_sd, y_cd), sg(b_log_c + g_ab / eps_j))
-    g_ab_f = damp_j * sm(eps_j, (y_sd, x_cd), sg(a_log_c + f_ba / eps_j))
+    # --- Optional intermediate scale (replicated; see models.multiscale) ----
+    n_delay = 0
+    if not last_is_jump:
+        n_delay = mid_delay(max(N, M), eps_list, jump, scaling, p)
+    if n_delay > 0:
+        (f_ba, g_ab, f_aa, g_bb), x_md, y_md, a_log_m, b_log_m = run_mid_phase(
+            sm,
+            (f_ba, g_ab, f_aa, g_bb),
+            x_cd, y_cd, a_log_c, b_log_c,
+            a_s, b_s, x_sd, y_sd,
+            eps_list, jump, n_delay, rho, debias, dtype, block_size, scaling,
+            verbose=verbose,
+        )
+        jump = jump + n_delay
+        eps_j = eps_list[jump]
+        damp_j = dampening(eps_j, rho)
+        last_is_jump = jump == len(eps_list) - 1
+        x_cd, y_cd = x_md, y_md
+        a_log_c, b_log_c = a_log_m, b_log_m
+
+    # Extrapolation onto the fine clouds (replicated). On a
+    # last-iteration jump this is the differentiable tail, so gradients
+    # flow through the fine points (models/multiscale.py ``x_e``/``y_e``):
+    x_e = x_s if last_is_jump else x_sd
+    y_e = y_s if last_is_jump else y_sd
+    f_ba_f = damp_j * sm(eps_j, (x_e, y_cd), sg(b_log_c + g_ab / eps_j))
+    g_ab_f = damp_j * sm(eps_j, (y_e, x_cd), sg(a_log_c + f_ba / eps_j))
     if debias:
-        f_aa_f = damp_j * sm(eps_j, (x_sd, x_cd), sg(a_log_c + f_aa / eps_j))
-        g_bb_f = damp_j * sm(eps_j, (y_sd, y_cd), sg(b_log_c + g_bb / eps_j))
+        f_aa_f = damp_j * sm(eps_j, (x_e, x_cd), sg(a_log_c + f_aa / eps_j))
+        g_bb_f = damp_j * sm(eps_j, (y_e, y_cd), sg(b_log_c + g_bb / eps_j))
     else:
         f_aa_f, g_bb_f = jnp.zeros_like(f_ba_f), jnp.zeros_like(g_ab_f)
 
-    # Truncation masks from the coarse potentials (replicated; the
-    # per-row tables are then row-sharded):
-    bpt = tile // block_size
-    mask_xy = masks_from_coarse(
-        x_cd, y_cd, f_ba, g_ab, aw_c, bw_c, eps_j, p, truncate, bpt, cap=cap
-    )
-    if debias:
-        mask_xx = masks_from_coarse(
-            x_cd, x_cd, f_aa, f_aa, aw_c, aw_c, eps_j, p, truncate, bpt,
-            cap=cap, sym=True,
+    if last_is_jump:
+        # The schedule ends at the jump: there is no fine phase to shard.
+        # The extrapolation above is the whole (replicated) tail — same
+        # semantics as the single-device backend's last-iteration jump.
+        f_ba_f = jnp.where(a_s > 0, f_ba_f, 0.0)
+        g_ab_f = jnp.where(b_s > 0, g_ab_f, 0.0)
+        if debias:
+            f_aa_f = jnp.where(a_s > 0, f_aa_f, 0.0)
+            g_bb_f = jnp.where(b_s > 0, g_bb_f, 0.0)
+        out = sinkhorn_cost(
+            eps, rho, a_s, b_s, f_aa_f, g_bb_f, g_ab_f, f_ba_f,
+            batch=False, debias=debias, potentials=potentials,
         )
-        mask_yy = masks_from_coarse(
-            y_cd, y_cd, g_bb, g_bb, bw_c, bw_c, eps_j, p, truncate, bpt,
-            cap=cap, sym=True,
+        if potentials:
+            F_s, G_s = out
+            f_out = jnp.zeros((N,), F_s.dtype).at[perm_x].set(F_s, mode="drop")
+            g_out = jnp.zeros((M,), G_s.dtype).at[perm_y].set(G_s, mode="drop")
+            return f_out, g_out
+        return out
+
+    # Truncation masks (replicated; the per-row tables are then
+    # row-sharded). With an intermediate scale, the potentials already
+    # live on the fine cloud — use the tile-geometry keep rule; otherwise
+    # the pointwise coarse rule (reference ``kernel_truncation``):
+    if n_delay > 0:
+        a_w, b_w = sg(a_s), sg(b_s)
+        mask_xy = build_tile_masks(
+            x_sd, y_sd, sg(f_ba_f), sg(g_ab_f), eps_j, p, truncate,
+            tile, cap=cap, w_x=a_w, w_y=b_w,
         )
+        if debias:
+            mask_xx = build_tile_masks(
+                x_sd, x_sd, sg(f_aa_f), sg(f_aa_f), eps_j, p, truncate,
+                tile, cap=cap, w_x=a_w, w_y=a_w, sym=True,
+            )
+            mask_yy = build_tile_masks(
+                y_sd, y_sd, sg(g_bb_f), sg(g_bb_f), eps_j, p, truncate,
+                tile, cap=cap, w_x=b_w, w_y=b_w, sym=True,
+            )
+        else:
+            mask_xx = mask_yy = jax.tree.map(lambda v: v[:0], mask_xy)
     else:
-        mask_xx = mask_yy = jax.tree.map(lambda v: v[:0], mask_xy)
+        bpt = tile // block_size
+        mask_xy = masks_from_coarse(
+            x_cd, y_cd, f_ba, g_ab, aw_c, bw_c, eps_j, p, truncate, bpt,
+            cap=cap,
+        )
+        if debias:
+            mask_xx = masks_from_coarse(
+                x_cd, x_cd, f_aa, f_aa, aw_c, aw_c, eps_j, p, truncate, bpt,
+                cap=cap, sym=True,
+            )
+            mask_yy = masks_from_coarse(
+                y_cd, y_cd, g_bb, g_bb, bw_c, bw_c, eps_j, p, truncate, bpt,
+                cap=cap, sym=True,
+            )
+        else:
+            mask_xx = mask_yy = jax.tree.map(lambda v: v[:0], mask_xy)
 
     eps_fine = [float(e) for e in eps_list[jump + 1 :]]
     eps_last = eps_list[-1]
@@ -371,8 +437,15 @@ def sinkhorn_multiscale_sharded(
     )
     out_specs = (sh1, sh1) if potentials else P()
 
-    # check_vma=False: the pallas_call out_shapes inside carry no varying-
-    # mesh-axes annotation (they are shard-local by construction).
+    # check_vma=False is forced by a JAX limitation, not a shortcut: the
+    # sparse-sweep pallas_calls inside would need vma={axis} annotations
+    # on their out_shapes, but pallas interpret mode (the off-TPU path
+    # used by the CPU-mesh tests and the driver dryrun) evaluates kernel
+    # bodies as jaxprs where literals carry empty vma, failing with
+    # "Primitive mul requires varying manual axes to match ... as a
+    # temporary workaround pass check_vma=False". Every output here is
+    # shard-local by construction (row-sharded tables in, row-sharded
+    # potentials out); the parity tests below pin the semantics.
     fn = jax.shard_map(
         fine, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,

@@ -109,11 +109,57 @@ def test_sharded_p1_and_unbalanced():
     np.testing.assert_allclose(float(vu8), float(vu1), rtol=1e-4)
 
 
-def test_sharded_no_fine_phase_raises():
+def test_sharded_last_iteration_jump():
+    # blur ~ diameter: the schedule ends at the jump, so there is no fine
+    # phase to shard — the (replicated) differentiable extrapolation is
+    # the whole tail, matching the single-device backend.
     a, x, b, y = _clouds(2000, 2000, seed=6)
-    with pytest.raises(NotImplementedError):
-        # blur ~ diameter: the schedule never reaches the fine scale.
-        sinkhorn_multiscale_sharded(
-            a, x, b, y, mesh=points_mesh(4), p=2, blur=1.0, diameter=1.5,
-            scaling=0.5,
+    kw = dict(p=2, blur=1.0, diameter=1.5, scaling=0.5)
+    v1 = sinkhorn_multiscale(a, x, b, y, **kw)
+    v4 = sinkhorn_multiscale_sharded(a, x, b, y, mesh=points_mesh(4), **kw)
+    np.testing.assert_allclose(float(v4), float(v1), rtol=1e-5)
+
+    g1 = jax.grad(lambda x: sinkhorn_multiscale(a, x, b, y, **kw))(x)
+    g4 = jax.grad(
+        lambda x: sinkhorn_multiscale_sharded(
+            a, x, b, y, mesh=points_mesh(4), **kw
         )
+    )(x)
+    scale = np.abs(np.asarray(g1)).max()
+    np.testing.assert_allclose(
+        np.asarray(g4), np.asarray(g1), atol=1e-5 * scale
+    )
+
+
+def test_sharded_labels():
+    # User-supplied cluster labels reorder the blocks exactly like the
+    # single-device backend (label-coherent Hilbert sort).
+    rng = np.random.RandomState(7)
+    a, x, b, y = _clouds(3000, 3200, seed=7, uniform=False)
+    lx = jnp.asarray(rng.randint(0, 4, size=3000), jnp.int32)
+    ly = jnp.asarray(rng.randint(0, 4, size=3200), jnp.int32)
+    v1 = sinkhorn_multiscale(a, x, b, y, labels_x=lx, labels_y=ly, **KW)
+    v8 = sinkhorn_multiscale_sharded(
+        a, x, b, y, mesh=points_mesh(8), labels_x=lx, labels_y=ly, **KW
+    )
+    np.testing.assert_allclose(float(v8), float(v1), rtol=1e-4)
+
+
+def test_sharded_mid_phase_parity(monkeypatch):
+    # Force the intermediate scale on a small cloud: the sharded backend
+    # must run the same pooled mid phase + tile-geometry masks as the
+    # single-device cascade.
+    import geomloss_tpu.models.multiscale as msmod
+
+    monkeypatch.setattr(msmod, "N_FINE_OK", 1024)
+    a, x, b, y = _clouds(5000, 6000, seed=8)
+    v1 = sinkhorn_multiscale(a, x, b, y, **KW)
+    v8 = sinkhorn_multiscale_sharded(a, x, b, y, mesh=points_mesh(8), **KW)
+    monkeypatch.setattr(msmod, "N_FINE_OK", 1 << 20)
+    v_two_scale = sinkhorn_multiscale(a, x, b, y, **KW)
+    np.testing.assert_allclose(float(v8), float(v1), rtol=1e-4)
+    # and the cascade itself stays consistent with the plain descent
+    # (loose: N_FINE_OK=1024 is a stress setting far below the real
+    # threshold; the single-device suite pins cascade-vs-dense at 5e-3
+    # in the realistic regime, tests/test_multiscale_structure.py):
+    np.testing.assert_allclose(float(v1), float(v_two_scale), rtol=2e-2)
