@@ -37,10 +37,11 @@ def main():
     measures = jnp.asarray(np.stack([A, B])[None])  # (1, K=2, N)
 
     bars = []
-    ts = np.linspace(0, 1, 7)
+    ts = np.linspace(0, 1, size(7, 3))
+    scaling_N = size(200, 40)  # descent steps per scale
     for t in ts:
         w = jnp.asarray([[1 - t, t]], jnp.float32)
-        bar = ImagesBarycenter(measures, w, blur=0.01, scaling_N=200)
+        bar = ImagesBarycenter(measures, w, blur=0.01, scaling_N=scaling_N)
         bars.append(np.asarray(bar)[0, 0])
         mean = float((np.arange(n) / n * bars[-1]).sum() / bars[-1].sum())
         print(f"t={t:.2f}: barycenter mass={bars[-1].sum():.4f} mean={mean:.3f}")
@@ -58,7 +59,7 @@ def main():
         savefig(plt, "wasserstein_barycenters_1D.png")
 
     # The mean should interpolate linearly along the flow:
-    return bars[3].sum()
+    return bars[len(bars) // 2].sum()
 
 
 if __name__ == "__main__":
