@@ -77,9 +77,12 @@ def main():
 
         return make
 
-    def kernel_step(name, blur):
+    def kernel_step(name, blur, backend="online", truncate=5):
         def make(n):
-            loss = SamplesLoss(name, blur=blur, backend="online")
+            loss = SamplesLoss(
+                name, blur=blur, backend=backend, truncate=truncate,
+                diameter=2.0,
+            )
             return jax.jit(jax.value_and_grad(lambda x, y: loss(x, y)))
 
         return make
@@ -109,7 +112,15 @@ def main():
     run_config(
         "gaussian_mmd_blur.1",
         kernel_step("gaussian", 0.1),
-        [10_000, 100_000, 1_000_000],
+        [10_000, 100_000],
+    )
+    # The reference protocol benches the gaussian kernel with truncation
+    # (plot_benchmarks_samplesloss_3D.py:96-100: blur .1, truncate 3);
+    # that is the backend that reaches 1M+ points.
+    run_config(
+        "gaussian_mmd_multiscale_blur.1",
+        kernel_step("gaussian", 0.1, backend="multiscale", truncate=3),
+        [100_000, 1_000_000],
     )
     run_config("energy_mmd", kernel_step("energy", None), [10_000, 100_000])
 

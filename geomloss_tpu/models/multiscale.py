@@ -204,6 +204,18 @@ def spatial_sort_blocks(
 #: ``ceil(log(N / N_FINE_OK) / log(1 / scaling^p))`` annealing steps.
 N_FINE_OK = 1 << 20
 
+#: Static table width for the mid-path fine masks. The cascade exists
+#: precisely so that kept tiles per row stay at the ``N_FINE_OK`` level
+#: as N grows (``mid_delay`` matches the entry temperature to the
+#: point count), so unlike the classic path the cap must NOT scale with
+#: the tile count: measured at 2M points / tile 1024, the true kept
+#: count at fine entry is ~26 tiles/row (mean) while the ``nJ // 8``
+#: default builds 128-wide tables whose dead grid steps (~1 us each,
+#: even compute-gated) cost 324 ms/sweep vs 205 ms at cap 32 for the
+#: SAME kept set. 64 leaves ~2x headroom over the observed worst mean;
+#: per-row overflow degrades to best-score top-k like every other cap.
+MID_CAP = 64
+
 #: Test/debug hook: force the intermediate-scale pooling factor.
 _B_MID_OVERRIDE = None
 
@@ -616,20 +628,22 @@ def sinkhorn_multiscale(
             if n_delay > 0:
                 # The mid phase already landed the potentials on the fine
                 # cloud: the keep rule reads tile-pooled fine potentials
-                # against rigorous tile-geometry cost bounds.
+                # against rigorous tile-geometry cost bounds. The table
+                # width is N-independent by cascade design (see MID_CAP).
+                cap_m = cap if cap is not None else MID_CAP
                 a_w, b_w = sg(a_s), sg(b_s)
                 mask_xy = build_tile_masks(
                     x_sd, y_sd, sg(f_ba_f), sg(g_ab_f), eps_j, p, truncate,
-                    tile, cap=cap, w_x=a_w, w_y=b_w,
+                    tile, cap=cap_m, w_x=a_w, w_y=b_w,
                 )
                 if debias:
                     mask_xx = build_tile_masks(
                         x_sd, x_sd, sg(f_aa_f), sg(f_aa_f), eps_j, p, truncate,
-                        tile, cap=cap, w_x=a_w, w_y=a_w, sym=True,
+                        tile, cap=cap_m, w_x=a_w, w_y=a_w, sym=True,
                     )
                     mask_yy = build_tile_masks(
                         y_sd, y_sd, sg(g_bb_f), sg(g_bb_f), eps_j, p, truncate,
-                        tile, cap=cap, w_x=b_w, w_y=b_w, sym=True,
+                        tile, cap=cap_m, w_x=b_w, w_y=b_w, sym=True,
                     )
             else:
                 # Pointwise keep rule on the coarse potentials/centroids at

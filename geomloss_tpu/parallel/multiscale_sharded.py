@@ -40,6 +40,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from ..models.multiscale import (
+    MID_CAP,
     TILE,
     _scan_iterations,
     auto_tile,
@@ -251,19 +252,22 @@ def sinkhorn_multiscale_sharded(
     # live on the fine cloud — use the tile-geometry keep rule; otherwise
     # the pointwise coarse rule (reference ``kernel_truncation``):
     if n_delay > 0:
+        # N-independent table width (cascade invariant — see
+        # models/multiscale.py::MID_CAP):
+        cap_m = cap if cap is not None else MID_CAP
         a_w, b_w = sg(a_s), sg(b_s)
         mask_xy = build_tile_masks(
             x_sd, y_sd, sg(f_ba_f), sg(g_ab_f), eps_j, p, truncate,
-            tile, cap=cap, w_x=a_w, w_y=b_w,
+            tile, cap=cap_m, w_x=a_w, w_y=b_w,
         )
         if debias:
             mask_xx = build_tile_masks(
                 x_sd, x_sd, sg(f_aa_f), sg(f_aa_f), eps_j, p, truncate,
-                tile, cap=cap, w_x=a_w, w_y=a_w, sym=True,
+                tile, cap=cap_m, w_x=a_w, w_y=a_w, sym=True,
             )
             mask_yy = build_tile_masks(
                 y_sd, y_sd, sg(g_bb_f), sg(g_bb_f), eps_j, p, truncate,
-                tile, cap=cap, w_x=b_w, w_y=b_w, sym=True,
+                tile, cap=cap_m, w_x=b_w, w_y=b_w, sym=True,
             )
         else:
             mask_xx = mask_yy = jax.tree.map(lambda v: v[:0], mask_xy)

@@ -145,6 +145,8 @@ def main():
     timeit(ex_grad, x_s, y_s, label="extrapolation fwd+bwd (xy pair)")
 
     # --- 3. per-step overhead sweep over tile size ---
+    if os.environ.get("SKIP_TILES"):
+        return
     print("-- sparse traversal overhead vs tile (xy absorbed pair) --")
     for t_try in (512, 1024, 2048, 4096):
         if Npad % t_try or Npad // t_try > 8192:
