@@ -115,7 +115,7 @@ def main():
         [10_000, 100_000],
     )
     # The reference protocol benches the gaussian kernel with truncation
-    # (plot_benchmarks_samplesloss_3D.py:96-100: blur .1, truncate 3);
+    # (plot_benchmarks_samplesloss_3D.py:206: blur .1, truncate 3);
     # that is the backend that reaches 1M+ points.
     run_config(
         "gaussian_mmd_multiscale_blur.1",

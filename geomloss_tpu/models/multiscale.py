@@ -39,10 +39,11 @@ from ..ops.block_sparse import (
     build_tile_masks,
     masks_from_coarse,
     retighten_counts,
-    sinkhorn_step_sparse,
-    softmin_extrapolation_sparse,
-    softmin_extrapolation_sparse_sym,
-    softmin_sparse,
+    sinkhorn_step_walk,
+    softmin_extrap_truncated,
+    softmin_extrapolation_walk,
+    softmin_extrapolation_walk_sym,
+    walk_plan,
 )
 from ..ops.softmin import (
     sinkhorn_step_points,
@@ -204,17 +205,31 @@ def spatial_sort_blocks(
 #: ``ceil(log(N / N_FINE_OK) / log(1 / scaling^p))`` annealing steps.
 N_FINE_OK = 1 << 20
 
-#: Static table width for the mid-path fine masks. The cascade exists
-#: precisely so that kept tiles per row stay at the ``N_FINE_OK`` level
-#: as N grows (``mid_delay`` matches the entry temperature to the
-#: point count), so unlike the classic path the cap must NOT scale with
-#: the tile count: measured at 2M points / tile 1024, the true kept
-#: count at fine entry is ~26 tiles/row (mean) while the ``nJ // 8``
-#: default builds 128-wide tables whose dead grid steps (~1 us each,
-#: even compute-gated) cost 324 ms/sweep vs 205 ms at cap 32 for the
-#: SAME kept set. 64 leaves ~2x headroom over the observed worst mean;
-#: per-row overflow degrades to best-score top-k like every other cap.
-MID_CAP = 64
+def mid_cap(n_pad, tile):
+    """Static table width for the mid-path fine masks.
+
+    Round 3 pinned this at 64 from a kept-count measurement taken with
+    unrepresentative (zero) potentials; with the real extrapolated
+    potentials the kept set at 2M / tile 1024 is mean 61.8, p99 93,
+    max 128 at the first fine temperature (PROFILE_PHASES.jsonl) — cap 64
+    was silently clipping 43% of rows, which is the ~9% loss shift the
+    round-3 advisor flagged at 4M. The kept-tile count per row scales
+    with the tile count (each tile covers half the area when N doubles at
+    fixed tile size), so the width must scale with ``nJ``; the dead-step
+    cost of the wide table is paid once per traversal and eliminated by
+    the step-list walk kernels (``ops/block_sparse.py``). The SMEM clamp
+    inside ``build_tile_masks`` (~219 at MAX_TABLE_ROWS) still binds
+    last. Per-row overflow beyond the cap degrades to best-score top-k;
+    audit a configuration with :func:`kept_tile_stats`.
+    """
+    nJ = n_pad // tile
+    return min(224, max(96, nJ // 16))
+
+#: Column-tile side of the truncated coarse/mid -> fine extrapolation
+#: sweeps (``ops/block_sparse.py::softmin_extrap_truncated``): small tiles
+#: track the keep radius on the *source* cloud, whose spatial extent per
+#: tile is much larger than a fine kernel tile's.
+EXTRAP_BM = 128
 
 #: Test/debug hook: force the intermediate-scale pooling factor.
 _B_MID_OVERRIDE = None
@@ -605,21 +620,47 @@ def sinkhorn_multiscale(
     # --- Extrapolation to the fine cloud (reference ``:533-544``) ---------------
     # The cross-updates must use the *previous* iterates in parallel.
     # On the last-iteration jump, gradients flow through the fine points.
+    # The detached sweeps are themselves truncated (round 4): the dense
+    # ``N x M_src`` extrapolation was the dominant superlinear phase at
+    # 2M-4M (4 x 110 ms of 3.47 s at 2M, PROFILE_PHASES.jsonl) — only
+    # source tiles within the LSE keep margin of a fine row tile matter.
     x_e = x_s if last_is_jump else x_sd
     y_e = y_s if last_is_jump else y_sd
-    f_ba_f = damp_j * sm(eps_j, (x_e, y_cd), sg(b_log_c + g_ab / eps_j))
-    g_ab_f = damp_j * sm(eps_j, (y_e, x_cd), sg(a_log_c + f_ba / eps_j))
+
+    def _extrap(rows, src, h):
+        h = sg(h)
+        ns = src.shape[0]
+        if (
+            truncate is not None
+            and not last_is_jump
+            and n_delay > 0
+            and ns % EXTRAP_BM == 0
+            and ns // EXTRAP_BM >= 64
+        ):
+            cap_e = max(8, min(64, -(-(ns // EXTRAP_BM) // 4 // 8) * 8))
+            return softmin_extrap_truncated(
+                rows, src, h, eps_j, truncate, tile, p=p,
+                block_m=EXTRAP_BM, cap=cap_e,
+            )
+        return sm(eps_j, (rows, src), h)
+
+    f_ba_f = damp_j * _extrap(x_e, y_cd, b_log_c + g_ab / eps_j)
+    g_ab_f = damp_j * _extrap(y_e, x_cd, a_log_c + f_ba / eps_j)
     if debias:
-        f_aa_f = damp_j * sm(eps_j, (x_e, x_cd), sg(a_log_c + f_aa / eps_j))
-        g_bb_f = damp_j * sm(eps_j, (y_e, y_cd), sg(b_log_c + g_bb / eps_j))
+        f_aa_f = damp_j * _extrap(x_e, x_cd, a_log_c + f_aa / eps_j)
+        g_bb_f = damp_j * _extrap(y_e, y_cd, b_log_c + g_bb / eps_j)
     else:
         f_aa_f, g_bb_f = jnp.zeros_like(f_ba_f), jnp.zeros_like(g_ab_f)
 
     if _DEBUG_MID_STATE and n_delay > 0:
         return dict(
             x_sd=x_sd, y_sd=y_sd, f_ba_f=f_ba_f, g_ab_f=g_ab_f,
+            f_aa_f=f_aa_f, g_bb_f=g_bb_f,
             a_s=a_s, b_s=b_s, eps_j=eps_j, tile=tile, jump=jump,
             eps_list=list(eps_list),
+            # Mid-scale cloud (the dense-extrapolation source state):
+            x_md=x_cd, y_md=y_cd, a_log_m=a_log_c, b_log_m=b_log_c,
+            f_ba_m=f_ba, g_ab_m=g_ab, f_aa_m=f_aa, g_bb_m=g_bb,
         )
 
     if not last_is_jump:
@@ -628,22 +669,43 @@ def sinkhorn_multiscale(
             if n_delay > 0:
                 # The mid phase already landed the potentials on the fine
                 # cloud: the keep rule reads tile-pooled fine potentials
-                # against rigorous tile-geometry cost bounds. The table
-                # width is N-independent by cascade design (see MID_CAP).
-                cap_m = cap if cap is not None else MID_CAP
+                # against tile-geometry cost bounds. The tables only ever
+                # serve the FINE iterations, so they are built at the
+                # first fine temperature (round 4) — building at the
+                # warmer mid-entry eps_j over-kept tiles and wasted cap
+                # width on entries the fine phase immediately
+                # re-thresholded away.
+                eps_b = eps_list[jump + 1]
+                cap_m = cap if cap is not None else mid_cap(
+                    x_sd.shape[0], tile
+                )
                 a_w, b_w = sg(a_s), sg(b_s)
                 mask_xy = build_tile_masks(
-                    x_sd, y_sd, sg(f_ba_f), sg(g_ab_f), eps_j, p, truncate,
+                    x_sd, y_sd, sg(f_ba_f), sg(g_ab_f), eps_b, p, truncate,
                     tile, cap=cap_m, w_x=a_w, w_y=b_w,
                 )
                 if debias:
                     mask_xx = build_tile_masks(
-                        x_sd, x_sd, sg(f_aa_f), sg(f_aa_f), eps_j, p, truncate,
+                        x_sd, x_sd, sg(f_aa_f), sg(f_aa_f), eps_b, p, truncate,
                         tile, cap=cap_m, w_x=a_w, w_y=a_w, sym=True,
                     )
                     mask_yy = build_tile_masks(
-                        y_sd, y_sd, sg(g_bb_f), sg(g_bb_f), eps_j, p, truncate,
+                        y_sd, y_sd, sg(g_bb_f), sg(g_bb_f), eps_b, p, truncate,
                         tile, cap=cap_m, w_x=b_w, w_y=b_w, sym=True,
+                    )
+                if verbose and not isinstance(
+                    mask_xy.counts, jax.core.Tracer
+                ):
+                    # Eager-mode capacity audit (the overflow counter the
+                    # round-3 advisor asked for; under jit the counts are
+                    # tracers and the table width is the only guarantee):
+                    ov = int((mask_xy.vals[:, -1] > 0).sum())
+                    print(
+                        f"Fine tables: cap={cap_m}, kept tiles/row mean "
+                        f"{float(mask_xy.counts.mean()):.1f} / max "
+                        f"{int(mask_xy.counts.max())}; {ov} of "
+                        f"{mask_xy.counts.shape[0]} rows at capacity"
+                        + (" (top-k clipping active)." if ov else ".")
                     )
             else:
                 # Pointwise keep rule on the coarse potentials/centroids at
@@ -678,56 +740,63 @@ def sinkhorn_multiscale(
             # exactly like the global cap.
             eps_fine = list(eps_list[jump + 1:])
             cap0 = mask_xy.cols.shape[1]
-
-            def sliced(mask, ck, d):
-                cnt = jnp.minimum(retighten_counts(mask.vals, d), ck)
-                cntT = jnp.minimum(retighten_counts(mask.valsT, d), ck)
-                return mask._replace(
-                    cols=mask.cols[:, :ck], counts=cnt,
-                    colsT=mask.colsT[:, :ck], countsT=cntT,
-                )
+            # Temperature the tables were built at (the retighten deltas
+            # are relative to it): first fine eps on the mid path, jump
+            # eps on the classic path.
+            eps_m = eps_list[jump + 1] if n_delay > 0 else eps_j
 
             # Group consecutive fine iterations sharing a static cap; each
-            # group runs as one scan over its (eps, damp, counts) stack.
-            groups = fine_cap_schedule(eps_fine, eps_j, cap0)
+            # group runs as one scan over its (eps, damp, step-table)
+            # stack. Every traversal goes through the step-list walk
+            # (round 4): the grid size tracks the TOTAL kept count per
+            # chunk (mean-level budget ~5/8 of the width) instead of the
+            # per-row width, so wide, unclipped tables cost no dead steps.
+            groups = fine_cap_schedule(eps_fine, eps_m, cap0)
+
+            def t_mean_of(ck):
+                return max(16, 5 * ck // 8)
+
+            def plans(mask, ck, d, sym=False):
+                cnt = jnp.minimum(retighten_counts(mask.vals, d), ck)
+                tb = walk_plan(mask.cols[:, :ck], cnt, t_mean_of(ck))
+                if sym:
+                    return tb, None
+                cntT = jnp.minimum(retighten_counts(mask.valsT, d), ck)
+                tbT = walk_plan(mask.colsT[:, :ck], cntT, t_mean_of(ck))
+                return tb, tbT
 
             def run_fine_groups(carry):
                 for ck, es in groups:
-                    ds = [truncate * (e - eps_j) for e in es]
-                    m_xy = [sliced(mask_xy, ck, d) for d in ds]
+                    ds = [truncate * (e - eps_m) for e in es]
+                    pl_xy = [plans(mask_xy, ck, d) for d in ds]
                     xs = {
                         "xy": (
-                            jnp.stack([m.counts for m in m_xy]),
-                            jnp.stack([m.countsT for m in m_xy]),
+                            jnp.stack([t for t, _ in pl_xy]),
+                            jnp.stack([tT for _, tT in pl_xy]),
                         )
                     }
                     if debias:
                         xs["xx"] = jnp.stack(
-                            [sliced(mask_xx, ck, d).counts for d in ds]
+                            [plans(mask_xx, ck, d, sym=True)[0] for d in ds]
                         )
                         xs["yy"] = jnp.stack(
-                            [sliced(mask_yy, ck, d).counts for d in ds]
+                            [plans(mask_yy, ck, d, sym=True)[0] for d in ds]
                         )
-                    base_xy = m_xy[0]
-                    base_xx = sliced(mask_xx, ck, 0) if debias else None
-                    base_yy = sliced(mask_yy, ck, 0) if debias else None
                     fns = (
-                        lambda e, f, g, t, m=base_xy: sinkhorn_step_sparse(
+                        lambda e, f, g, t: sinkhorn_step_walk(
                             e, x_sd, y_sd, a_log_f, b_log_f, f, g,
-                            m.with_counts(*t["xy"]), p=p, block=tile,
+                            t["xy"][0], t["xy"][1], p=p, block=tile,
                         ),
                         (
-                            lambda e, f, t, m=base_xx: sinkhorn_step_sparse(
+                            lambda e, f, t: sinkhorn_step_walk(
                                 e, x_sd, x_sd, a_log_f, a_log_f, f, f,
-                                m._replace(counts=t["xx"]),
-                                p=p, block=tile, sym=True,
+                                t["xx"], None, p=p, block=tile, sym=True,
                             )[0]
                         ) if debias else None,
                         (
-                            lambda e, g, t, m=base_yy: sinkhorn_step_sparse(
+                            lambda e, g, t: sinkhorn_step_walk(
                                 e, y_sd, y_sd, b_log_f, b_log_f, g, g,
-                                m._replace(counts=t["yy"]),
-                                p=p, block=tile, sym=True,
+                                t["yy"], None, p=p, block=tile, sym=True,
                             )[0]
                         ) if debias else None,
                     )
@@ -739,27 +808,26 @@ def sinkhorn_multiscale(
                 return carry
 
             ck_l = groups[-1][0]
-            d_last = truncate * (eps_fine[-1] - eps_j)
-            mask_xy_l = sliced(mask_xy, ck_l, d_last)
+            d_last = truncate * (eps_fine[-1] - eps_m)
+            tbl_xy_l, tblT_xy_l = plans(mask_xy, ck_l, d_last)
             if debias:
-                mask_xx_l = sliced(mask_xx, ck_l, d_last)
-                mask_yy_l = sliced(mask_yy, ck_l, d_last)
+                tbl_xx_l = plans(mask_xx, ck_l, d_last, sym=True)[0]
+                tbl_yy_l = plans(mask_yy, ck_l, d_last, sym=True)[0]
 
             def fused_extrap(eps_last, f_ba_f, g_ab_f, f_aa_f, g_bb_f):
-                S_xy, S_yx = softmin_extrapolation_sparse(
+                S_xy, S_yx = softmin_extrapolation_walk(
                     x_s, y_s, sg(f_ba_f), sg(g_ab_f),
                     sg(a_log_f), sg(b_log_f), eps_last,
-                    mask_xy_l.cols, mask_xy_l.counts,
-                    mask_xy_l.colsT, mask_xy_l.countsT, p, tile,
+                    tbl_xy_l, tblT_xy_l, p, tile,
                 )
                 if debias:
-                    S_xx = softmin_extrapolation_sparse_sym(
+                    S_xx = softmin_extrapolation_walk_sym(
                         x_s, sg(f_aa_f), sg(a_log_f), eps_last,
-                        mask_xx_l.cols, mask_xx_l.counts, p, tile,
+                        tbl_xx_l, p, tile,
                     )
-                    S_yy = softmin_extrapolation_sparse_sym(
+                    S_yy = softmin_extrapolation_walk_sym(
                         y_s, sg(g_bb_f), sg(b_log_f), eps_last,
-                        mask_yy_l.cols, mask_yy_l.counts, p, tile,
+                        tbl_yy_l, p, tile,
                     )
                 else:
                     S_xx = S_yy = None

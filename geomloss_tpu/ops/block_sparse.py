@@ -159,6 +159,502 @@ def _launch_chunked(launch, nI, cols, counts, row_ops):
     return out[: nI * (out.shape[0] // nIp)]
 
 
+# ==============================================================================
+#  Step-list walk traversal (round 4)
+# ==============================================================================
+#
+# The rectangular ``(nI, cap)`` traversal grid pays ~0.5-1 us of scalar-
+# core bookkeeping per grid step even when the step is masked out, so the
+# static ``cap`` had to hug the mean kept count — which silently clipped
+# the rows above it (round-3 advisor finding: cap 64 clipped 43% of rows
+# at 2M, shifting the loss ~9% at 4M). The walk flattens the kept steps
+# of each row-chunk into ONE step list: grid size tracks the *total* kept
+# count (mean-level budget, not per-row width), so the tables can be as
+# wide as correctness wants while dead steps all but vanish.
+#
+# Each step packs (flag, row tile, column tile) into one int32 SMEM word:
+#   fl << 26 | it << 13 | jt        (fl: 1 = first step of a row run,
+#                                    0 = continuation, 2 = dead padding)
+# Runs are row-major, so the output block stays resident across a run and
+# accumulates in place (the triangle-walk pattern); dead padding repeats
+# the chunk's last real step — same block indices, no DMA, compute
+# predicated off.
+
+#: Rows per walk chunk: bounds the packed SMEM table at
+#: ``MAX_WALK_ROWS * t_mean`` int32 words per launch (~1 MB budget).
+MAX_WALK_ROWS = 1024
+
+
+def walk_plan(cols, counts, t_mean):
+    """Pack a ``(cols, counts)`` table into per-chunk step lists.
+
+    Args:
+        cols: ``(nI, cap)`` int32 kept-tile table (row-sorted by score).
+        counts: ``(nI,)`` kept counts (>= 1).
+        t_mean: static per-row step budget. A chunk whose total kept count
+            exceeds ``MAX_WALK_ROWS * t_mean`` clips every row
+            proportionally (keeping each row's best-scoring tiles) — a
+            mean-level budget instead of the rectangular per-row cap.
+
+    Returns:
+        ``(nc, T_c)`` int32 packed step table (see module comment).
+    """
+    nI, cap = cols.shape
+    rows_c = min(nI, MAX_WALK_ROWS)
+    nc = -(-nI // rows_c)
+    nIp = nc * rows_c
+    if nIp != nI:
+        cols = jnp.pad(cols, ((0, nIp - nI), (0, 0)))
+        counts = jnp.pad(counts, (0, nIp - nI), constant_values=1)
+    T_c = rows_c * t_mean
+
+    cnt = counts.reshape(nc, rows_c).astype(jnp.int32)
+    colc = cols.reshape(nc, rows_c, cap).astype(jnp.int32)
+    tot = cnt.sum(axis=1)  # (nc,)
+    # Proportional per-row clip on overflow (each row keeps >= 1):
+    scale = (T_c - rows_c) / jnp.maximum(tot - rows_c, 1).astype(jnp.float32)
+    clipped = 1 + ((cnt - 1) * jnp.minimum(scale, 1.0)[:, None]).astype(
+        jnp.int32
+    )
+    cnt = jnp.where(tot[:, None] > T_c, clipped, cnt)
+    cnt = jnp.minimum(cnt, cap)
+
+    # Gather-based construction (a scattered .at[tgt].set over the slots
+    # measured 27 ms at 2M — TPU scatters are slow; the only scatter left
+    # is the nI-element run-start indicator):
+    offs = jnp.cumsum(cnt, axis=1) - cnt  # exclusive, per chunk
+    ind = (
+        jnp.zeros((nc, T_c), jnp.int32)
+        .at[jnp.arange(nc)[:, None], offs]
+        .add(1, mode="drop")
+    )
+    row = jnp.cumsum(ind, axis=1) - 1  # slot -> local row (clamps at end)
+    slot = jnp.arange(T_c, dtype=jnp.int32)[None, :]
+    k = slot - jnp.take_along_axis(offs, row, axis=1)
+    cnt_r = jnp.take_along_axis(cnt, row, axis=1)
+    dead = k >= cnt_r  # covers slot >= tot too (row clamps to rows_c - 1)
+    kc = jnp.minimum(k, cnt_r - 1)  # dead slots repeat the last real step
+    jt = jnp.take_along_axis(
+        colc.reshape(nc, rows_c * cap),
+        row * cap + kc,
+        axis=1,
+    )
+    fl = jnp.where(dead, 2, jnp.where(k == 0, 1, 0))
+    return (fl << 26) | (row << 13) | jt
+
+
+def _walk_split_rows(a, ax, nI, nc, rows_c, fill=0.0):
+    """Split a row-indexed operand into walk chunks along a new axis 0."""
+    nIp = nc * rows_c
+    k = a.shape[ax] // nI
+    if nIp != nI:
+        pad = [(0, 0)] * a.ndim
+        pad[ax] = (0, (nIp - nI) * k)
+        a = jnp.pad(a, pad, constant_values=fill)
+    sh = a.shape
+    new = sh[:ax] + (nc, rows_c * k) + sh[ax + 1:]
+    return jnp.moveaxis(a.reshape(new), ax, 0)
+
+
+def _launch_walk(launch, nI, tbl, row_ops):
+    """Run a walk kernel over its chunks (one compiled kernel, scanned).
+
+    ``launch(tbl_c, *row_op_chunks) -> (rows_c * block, C)``;
+    ``row_ops`` is a list of ``(array, chunk_axis, fill)``.
+    """
+    nc, T_c = tbl.shape
+    rows_c = min(nI, MAX_WALK_ROWS)
+    if nc == 1:
+        return launch(tbl[0], *[a for a, _, _ in row_ops])
+
+    xs = (tbl,) + tuple(
+        _walk_split_rows(a, ax, nI, nc, rows_c, fill)
+        for a, ax, fill in row_ops
+    )
+
+    def body(_, inp):
+        return None, launch(inp[0], *inp[1:])
+
+    _, outs = lax.scan(body, None, xs)
+    out = outs.reshape((-1,) + outs.shape[2:])
+    return out[: nI * (out.shape[0] // (nc * rows_c))]
+
+
+def _row_sum_walk_kernel(
+    tbl_ref, eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref, *rest, p,
+):
+    # p=2 folds the quadratics into the biases, so the sq operands (and
+    # their per-step index-map evaluations + DMAs) are only wired for p=1.
+    if p == 2:
+        (o_ref,) = rest
+    else:
+        sqx_ref, sqy_ref, o_ref = rest
+    t = pl.program_id(1)
+    fl = tbl_ref[t] >> 26
+
+    def _row():
+        c2 = LOG2E / eps_ref[0]
+        scores = _scores_dot(xhT_ref[:], yhT_ref[:])
+        if p == 2:
+            W = jnp.exp2(phi_ref[:] + (psi_ref[:] + scores * c2))
+        else:
+            sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
+            d = jnp.where(sq > 2e-6 * (sqx_ref[:] + sqy_ref[:]),
+                          jnp.sqrt(jnp.maximum(sq, 1e-8)), 0.0)
+            W = jnp.exp2(phi_ref[:] + (psi_ref[:] - d * c2))
+        return jnp.sum(W, axis=1, keepdims=True)
+
+    @pl.when(fl == 1)
+    def _first():
+        o_ref[:] = _row()
+
+    @pl.when(fl == 0)
+    def _cont():
+        o_ref[:] += _row()
+
+
+@functools.partial(jax.jit, static_argnames=("p", "block"))
+def _absorbed_sum_walk(x, y, phi, psi, eps, tbl, p, block):
+    """Step-list variant of :func:`_absorbed_sum` (same math, same
+    operand folding; traversal driven by a :func:`walk_plan` table)."""
+    N, D = x.shape
+    M, _ = y.shape
+    assert N % block == 0 and M % block == 0
+    bn = min(block, max(128, (1024 * 2048) // block))
+    s = block // bn
+
+    f32 = jnp.float32
+    x32, y32 = x.astype(f32), y.astype(f32)
+    eps32 = jnp.asarray(eps, f32)
+    if p == 2:
+        phi_eff = (phi.astype(f32) - 0.5 * (x32**2).sum(-1) / eps32) * LOG2E
+        psi_eff = (psi.astype(f32) - 0.5 * (y32**2).sum(-1) / eps32) * LOG2E
+    else:
+        phi_eff = phi.astype(f32) * LOG2E
+        psi_eff = psi.astype(f32) * LOG2E
+
+    xhT, yhT = _split6_pair(x32.T, y32.T)
+    sqx = ((x32**2).sum(-1))[:, None]
+    sqy = ((y32**2).sum(-1))[None, :]
+    eps_arr = eps32.reshape(1)
+    psi_row = psi_eff[None, :]
+    K = xhT.shape[0]
+    nI = N // block
+    nc, T_c = tbl.shape
+    rows_c = min(nI, MAX_WALK_ROWS)
+
+    def _it(tbl, t):
+        return (tbl[t] >> 13) & 0x1FFF
+
+    def _jt(tbl, t):
+        return tbl[t] & 0x1FFF
+
+    def launch(tbl_c, xhT_c, phi_c, sqx_c):
+        in_specs = [
+            pl.BlockSpec((K, bn), lambda k, t, tb, e: (0, _it(tb, t) * s + k)),
+            pl.BlockSpec((K, block), lambda k, t, tb, e: (0, _jt(tb, t))),
+            pl.BlockSpec((bn, 1), lambda k, t, tb, e: (_it(tb, t) * s + k, 0)),
+            pl.BlockSpec((1, block), lambda k, t, tb, e: (0, _jt(tb, t))),
+        ]
+        ops = [xhT_c, yhT, phi_c, psi_row]
+        if p != 2:
+            in_specs += [
+                pl.BlockSpec((bn, 1), lambda k, t, tb, e: (_it(tb, t) * s + k, 0)),
+                pl.BlockSpec((1, block), lambda k, t, tb, e: (0, _jt(tb, t))),
+            ]
+            ops += [sqx_c, sqy]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # tbl, eps
+            grid=(s, T_c),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (bn, 1), lambda k, t, tb, e: (_it(tb, t) * s + k, 0)
+            ),
+            scratch_shapes=[],
+        )
+        return pl.pallas_call(
+            functools.partial(_row_sum_walk_kernel, p=p),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rows_c * block, 1), f32),
+            interpret=_interpret(),
+        )(tbl_c, eps_arr, *ops)
+
+    r = _launch_walk(
+        launch, nI, tbl,
+        [(xhT, 1, 0.0), (phi_eff[:, None], 0, NEG_INF), (sqx, 0, 0.0)],
+    )
+    return jnp.maximum(r[:, 0], _SUM_FLOOR)
+
+
+def sinkhorn_step_walk(eps, x, y, a_log, b_log, f, g, tbl, tblT, p=2,
+                       block=512, sym=False):
+    """Step-list analogue of :func:`sinkhorn_step_sparse`."""
+    eps32 = jnp.asarray(eps, jnp.float32)
+    phi = a_log + f / eps32
+    psi = b_log + g / eps32
+    r = _absorbed_sum_walk(x, y, phi, psi, eps32, tbl, p, block)
+    S_xy = (f + eps32 * (a_log - jnp.log(r))).astype(f.dtype)
+    if sym:
+        return S_xy, None
+    c = _absorbed_sum_walk(y, x, psi, phi, eps32, tblT, p, block)
+    S_yx = (g + eps32 * (b_log - jnp.log(c))).astype(g.dtype)
+    return S_xy, S_yx
+
+
+def _lse_walk_kernel(
+    tbl_ref, eps_ref, xhT_ref, yhT_ref, h_ref, *rest, p,
+):
+    if p == 2:
+        o_ref, m_ref, s_ref = rest
+    else:
+        sqx_ref, sqy_ref, o_ref, m_ref, s_ref = rest
+    t = pl.program_id(1)
+    fl = tbl_ref[t] >> 26
+
+    def _arg():
+        c2 = LOG2E / eps_ref[0]
+        scores = _scores_dot(xhT_ref[:], yhT_ref[:])
+        if p == 2:
+            return h_ref[:] + scores * c2
+        sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
+        d = jnp.where(sq > 2e-6 * (sqx_ref[:] + sqy_ref[:]),
+                      jnp.sqrt(jnp.maximum(sq, 1e-8)), 0.0)
+        return h_ref[:] - d * c2
+
+    @pl.when(fl == 1)
+    def _first():
+        arg = _arg()
+        m = jnp.max(arg, axis=1, keepdims=True)
+        m_ref[:] = m
+        s_ref[:] = jnp.sum(jnp.exp2(arg - m), axis=1, keepdims=True)
+        o_ref[:] = m + jnp.log2(s_ref[:])
+
+    @pl.when(fl == 0)
+    def _cont():
+        arg = _arg()
+        m_prev = m_ref[:]
+        blk = jnp.max(arg, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, blk)
+        s_ref[:] = s_ref[:] * jnp.exp2(m_prev - m_new) + jnp.sum(
+            jnp.exp2(arg - m_new), axis=1, keepdims=True
+        )
+        m_ref[:] = m_new
+        # The run's final value persists: the block stays resident until
+        # the row changes, and dead steps never touch it.
+        o_ref[:] = m_new + jnp.log2(s_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("p", "block_n", "block_m"))
+def lse_walk(x, y, h, eps, tbl, p=2, block_n=256, block_m=512):
+    """Step-list variant of :func:`lse_sparse` (two-pass online LSE over
+    the kept tiles of a :func:`walk_plan` table)."""
+    N, D = x.shape
+    M, _ = y.shape
+    assert N % block_n == 0 and M % block_m == 0
+
+    f32 = jnp.float32
+    eps32 = jnp.asarray(eps, f32)
+    x32, y32 = x.astype(f32), y.astype(f32)
+    xhT, yhT = _split6_pair(x32.T, y32.T)
+    h2 = h.astype(f32) * LOG2E
+    if p == 2:
+        h2 = h2 - (0.5 * LOG2E / eps32) * (y32**2).sum(-1)
+    h2 = h2[None, :]
+    sqx = ((x32**2).sum(-1))[:, None]
+    sqy = ((y32**2).sum(-1))[None, :]
+    eps_arr = eps32.reshape(1)
+
+    bn = min(block_n, max(128, (1024 * 2048) // block_m))
+    s = block_n // bn
+    K = xhT.shape[0]
+    nI = N // block_n
+    nc, T_c = tbl.shape
+    rows_c = min(nI, MAX_WALK_ROWS)
+
+    def _it(tb, t):
+        return (tb[t] >> 13) & 0x1FFF
+
+    def _jt(tb, t):
+        return tb[t] & 0x1FFF
+
+    def launch(tbl_c, xhT_c, sqx_c):
+        in_specs = [
+            pl.BlockSpec((K, bn), lambda k, t, tb, e: (0, _it(tb, t) * s + k)),
+            pl.BlockSpec((K, block_m), lambda k, t, tb, e: (0, _jt(tb, t))),
+            pl.BlockSpec((1, block_m), lambda k, t, tb, e: (0, _jt(tb, t))),
+        ]
+        ops = [xhT_c, yhT, h2]
+        if p != 2:
+            in_specs += [
+                pl.BlockSpec((bn, 1), lambda k, t, tb, e: (_it(tb, t) * s + k, 0)),
+                pl.BlockSpec((1, block_m), lambda k, t, tb, e: (0, _jt(tb, t))),
+            ]
+            ops += [sqx_c, sqy]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(s, T_c),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (bn, 1), lambda k, t, tb, e: (_it(tb, t) * s + k, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bn, 1), f32),
+                pltpu.VMEM((bn, 1), f32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_lse_walk_kernel, p=p),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rows_c * block_n, 1), f32),
+            interpret=_interpret(),
+        )(tbl_c, eps_arr, *ops)
+
+    out = _launch_walk(launch, nI, tbl, [(xhT, 1, 0.0), (sqx, 0, 0.0)])
+    out = out[:, 0] * LN2
+    if p == 2:
+        out = out - 0.5 * (x32**2).sum(-1) / eps32
+    return out
+
+
+def _apply_walk_kernel(
+    tbl_ref, eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref, *rest, p, kind,
+):
+    if p == 2 and kind not in ("energy", "inv_dist"):
+        VT_ref, o_ref = rest
+    else:
+        sqx_ref, sqy_ref, VT_ref, o_ref = rest
+    t = pl.program_id(1)
+    fl = tbl_ref[t] >> 26
+
+    def _contrib():
+        c2 = LOG2E / eps_ref[0]
+        scores = _scores_dot(xhT_ref[:], yhT_ref[:])
+        if p == 2 and kind not in ("energy", "inv_dist"):
+            w = jnp.exp2(phi_ref[:] + (psi_ref[:] + scores * c2))
+        else:
+            sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
+            d = jnp.sqrt(jnp.maximum(sq, 1e-8))
+            if kind == "energy":
+                w = -d
+            elif kind == "inv_dist":
+                w = jnp.where(sq > 1e-6, 1.0 / d, 0.0)
+            else:
+                dw = jnp.where(sq > 2e-6 * (sqx_ref[:] + sqy_ref[:]), d, 0.0)
+                w = jnp.exp2(phi_ref[:] + (psi_ref[:] - dw * c2))
+                if kind == "gibbs_grad":
+                    w = jnp.where(sq > 1e-6, w / d, 0.0)
+        if VT_ref.shape[0] == 1:
+            return jnp.sum(w * VT_ref[:], axis=1, keepdims=True)
+        C = VT_ref.shape[0] // 2
+        V1 = VT_ref[:C, :]
+        V2 = VT_ref[C:, :]
+        w1 = _bf16_trunc(w)
+        w2 = w - w1
+        dn = (((1,), (1,)), ((), ()))
+        return (
+            lax.dot_general(w1, V1, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+            + lax.dot_general(w1, V2, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+            + lax.dot_general(w2, V1, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+        )
+
+    @pl.when(fl == 1)
+    def _first():
+        o_ref[:] = _contrib()
+
+    @pl.when(fl == 0)
+    def _cont():
+        o_ref[:] += _contrib()
+
+
+@functools.partial(jax.jit, static_argnames=("p", "kind", "block_n", "block_m"))
+def gibbs_apply_walk(
+    x, y, phi, psi, V, eps, tbl, p=2, kind="gibbs", block_n=512, block_m=512,
+):
+    """Step-list variant of :func:`gibbs_apply_sparse`."""
+    N, D = x.shape
+    M, _ = y.shape
+    C = V.shape[-1]
+    assert N % block_n == 0 and M % block_m == 0
+
+    f32 = jnp.float32
+    x32, y32 = x.astype(f32), y.astype(f32)
+    eps32 = jnp.asarray(eps, f32)
+    if p == 2 and kind not in ("energy", "inv_dist"):
+        phi_eff = (phi.astype(f32) - 0.5 * (x32**2).sum(-1) / eps32) * LOG2E
+        psi_eff = (psi.astype(f32) - 0.5 * (y32**2).sum(-1) / eps32) * LOG2E
+    elif kind in ("energy", "inv_dist"):
+        phi_eff, psi_eff = phi.astype(f32), psi.astype(f32)
+    else:
+        phi_eff = phi.astype(f32) * LOG2E
+        psi_eff = psi.astype(f32) * LOG2E
+
+    xhT, yhT = _split6_pair(x32.T, y32.T)
+    psi_row = psi_eff[None, :]
+    sqx = ((x32**2).sum(-1))[:, None]
+    sqy = ((y32**2).sum(-1))[None, :]
+    VT = V.astype(f32).T
+    if C > 1:
+        VT1 = _bf16_trunc(VT)
+        VT = jnp.concatenate([VT1, VT - VT1], axis=0)
+    eps_arr = eps32.reshape(1)
+
+    target = (1024 * 2048) if C == 1 else (256 * 1024)
+    bn = min(block_n, max(128, target // block_m))
+    s = block_n // bn
+    K = xhT.shape[0]
+    nI = N // block_n
+    nc, T_c = tbl.shape
+    rows_c = min(nI, MAX_WALK_ROWS)
+
+    def _it(tb, t):
+        return (tb[t] >> 13) & 0x1FFF
+
+    def _jt(tb, t):
+        return tb[t] & 0x1FFF
+
+    def launch(tbl_c, xhT_c, phi_c, sqx_c):
+        in_specs = [
+            pl.BlockSpec((K, bn), lambda k, t, tb, e: (0, _it(tb, t) * s + k)),
+            pl.BlockSpec((K, block_m), lambda k, t, tb, e: (0, _jt(tb, t))),
+            pl.BlockSpec((bn, 1), lambda k, t, tb, e: (_it(tb, t) * s + k, 0)),
+            pl.BlockSpec((1, block_m), lambda k, t, tb, e: (0, _jt(tb, t))),
+        ]
+        ops = [xhT_c, yhT, phi_c, psi_row]
+        if not (p == 2 and kind not in ("energy", "inv_dist")):
+            in_specs += [
+                pl.BlockSpec((bn, 1), lambda k, t, tb, e: (_it(tb, t) * s + k, 0)),
+                pl.BlockSpec((1, block_m), lambda k, t, tb, e: (0, _jt(tb, t))),
+            ]
+            ops += [sqx_c, sqy]
+        in_specs.append(
+            pl.BlockSpec((VT.shape[0], block_m), lambda k, t, tb, e: (0, _jt(tb, t)))
+        )
+        ops.append(VT)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(s, T_c),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (bn, C), lambda k, t, tb, e: (_it(tb, t) * s + k, 0)
+            ),
+            scratch_shapes=[],
+        )
+        return pl.pallas_call(
+            functools.partial(_apply_walk_kernel, p=p, kind=kind),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rows_c * block_n, C), f32),
+            interpret=_interpret(),
+        )(tbl_c, eps_arr, *ops)
+
+    return _launch_walk(
+        launch, nI, tbl,
+        [(xhT, 1, 0.0), (phi_eff[:, None], 0, NEG_INF), (sqx, 0, 0.0)],
+    )
+
+
 def tile_stats(x, block):
     """Per-tile centroids and radii of a (padded) sorted point cloud.
 
@@ -333,6 +829,96 @@ def build_tile_masks(x, y, f, g, eps, p, truncate, block, cap=None, w_x=None,
     return TileMask(
         cols=cols, counts=counts, colsT=colsT, countsT=countsT,
         vals=vals, valsT=valsT,
+    )
+
+
+def extrap_cols(x_rows, y_src, h, eps, truncate, block_n, block_m, cap, p=2,
+                stat_block=None):
+    """Kept-column tables for a one-direction truncated softmin.
+
+    Serves the detached coarse/mid -> fine extrapolation
+    (``models/multiscale.py``): ``S_i = -eps log sum_j exp(h_j - C_ij/eps)``
+    over a *small* source cloud ``y_src`` (coarse centroids or pooled mid
+    blocks) for every fine row point. Round 3 ran these four sweeps dense —
+    ``O(N * M_src)`` pairs, the dominant superlinear term at 2M-4M (440 ms
+    of 3.47 s at 2M, committed in PROFILE_PHASES.jsonl).
+
+    Keep rule: a column tile ``J`` survives for row tile ``I`` when its
+    best possible score upper bound ``h_max[J] - C_lb(I, J)/eps`` lies
+    within ``truncate`` (nats) of the row's best upper bound — the LSE
+    analogue of the reference's ``kernel_truncation`` margin
+    (``_legacy/sinkhorn_samples.py:493-530``). ``C_lb`` subtracts the
+    *source* tile radius (rigorous on the reduction side); the row side
+    uses sub-block centroids like :func:`build_tile_masks`.
+
+    Returns ``(cols, counts)`` for :func:`lse_sparse` with
+    ``block_n/block_m`` tiling.
+    """
+    N = x_rows.shape[0]
+    M = y_src.shape[0]
+    nI = N // block_n
+    nJ = M // block_m
+    cap = min(cap, nJ)
+
+    sbx = stat_block if stat_block is not None else _stat_block(N, block_n)
+    sbx = min(sbx, block_n)
+    bpt = block_n // sbx
+    sby = min(32, block_m)
+    spt = block_m // sby
+    cx, rx = tile_stats(x_rows, sbx)
+    cy, ry = tile_stats(y_src, sby)
+    h_smax = h.reshape(M // sby, sby).max(axis=1)
+
+    sq = (
+        (cx**2).sum(-1)[:, None]
+        + (cy**2).sum(-1)[None, :]
+        - 2.0 * jnp.dot(cx, cy.T, precision=COORD_PRECISION)
+    )
+    dist = jnp.sqrt(jnp.clip(sq, min=1e-12))
+    rr = rx[:, None] + ry[None, :]
+
+    def C_of(d):
+        return 0.5 * d**2 if p == 2 else d
+
+    # Keep score U: sub-block-centroid rule on BOTH sides (the validated
+    # build_tile_masks recipe — sub-blocks are curve-tight, so seam tiles
+    # neither inflate their own score nor evict true neighbors from the
+    # top-k; the truncate margin absorbs the sub-block radii).
+    # Threshold: each row's max score is lower-bounded RIGOROUSLY by
+    # evaluating any sub-block's best h point at the worst-case distance
+    # (dist + both radii). Thresholding tight-ish U against max_J L cannot
+    # drop a true-best tile — the failure mode of the naive "threshold
+    # against max U" rule (measured ~1 nat of LSE error from seam tiles
+    # whose radius-swallowed lower bounds inflated the row max).
+    U = h_smax[None, :] - C_of(dist) / eps
+    L = h_smax[None, :] - C_of(dist + rr) / eps
+    thr = L.max(axis=1)  # (N/sbx,) per-sub-block row-max lower bound
+    if spt > 1:
+        U = functools.reduce(jnp.maximum, [U[:, k::spt] for k in range(spt)])
+    if bpt > 1:
+        U = functools.reduce(jnp.maximum, [U[k::bpt, :] for k in range(bpt)])
+        # Valid for every row of the tile => take the weakest sub-block:
+        thr = functools.reduce(
+            jnp.minimum, [thr[k::bpt] for k in range(bpt)]
+        )
+    score = U - thr[:, None] + truncate
+    cols, counts, _ = _cols_from_score(score, cap)
+    return cols, counts
+
+
+def softmin_extrap_truncated(rows_pts, src_pts, h, eps, truncate, block_n,
+                             p=2, block_m=128, cap=24):
+    """Detached truncated one-direction softmin onto a fine cloud (see
+    :func:`extrap_cols`). Falls back to the exact result only through the
+    keep margin — callers gate on cloud sizes and detachment."""
+    eps = jnp.asarray(eps, jnp.float32)
+    cols, counts = extrap_cols(
+        rows_pts, src_pts, h, eps, truncate, block_n, block_m, cap, p=p
+    )
+    tbl = walk_plan(cols, counts, max(12, cap // 2))
+    return -eps * lse_walk(
+        rows_pts, src_pts, h, eps, tbl, p=p,
+        block_n=block_n, block_m=block_m,
     )
 
 
@@ -630,9 +1216,11 @@ def gibbs_apply_sparse(
     # Row subdivision: large logical tiles share one cols row across s
     # row sub-blocks, keeping the SMEM tables at tile granularity while
     # the VMEM-resident (bn, block_m) weight block (plus its two
-    # bf16-split summands when C > 1) stays within the ~16 MB budget —
-    # scale bn inversely with the column width:
-    target = (1024 * 2048) if C == 1 else (512 * 2048)
+    # bf16-split summands when C > 1) stays well under the ~16 MB budget.
+    # C > 1 keeps THREE live W-sized buffers (W, w1, w2): measured at 2M /
+    # bm=1024, bn=256 runs 2.4x faster than bn=1024 (158 vs 375 ms — the
+    # fat buffers defeat double-buffering):
+    target = (1024 * 2048) if C == 1 else (256 * 1024)
     bn = min(block_n, max(128, target // block_m))
     s = block_n // bn
 
@@ -901,6 +1489,97 @@ def _softmin_extrap_sparse_sym_bwd(p, block, res, u):
 
 softmin_extrapolation_sparse_sym.defvjp(
     _softmin_extrap_sparse_sym_fwd, _softmin_extrap_sparse_sym_bwd
+)
+
+
+def _extrap_dx_walk(x, y, f, g, loga, logb, eps, S, u, tbl, p, block):
+    """d<u, S_xy>/dx for the absorbed truncated softmin (walk traversal)."""
+    logr = (f - S) / eps + loga
+    phi = f / eps + loga - logr
+    psi = g / eps + logb
+    kind = "gibbs" if p == 2 else "gibbs_grad"
+    ones = jnp.ones((y.shape[0], 1), dtype=jnp.float32)
+    V = jnp.concatenate([ones, y.astype(jnp.float32)], axis=-1)
+    R = gibbs_apply_walk(
+        x, y, phi, psi, V, eps, tbl, p=p, kind=kind,
+        block_n=block, block_m=block,
+    )
+    return u[:, None] * (x * R[:, :1] - R[:, 1:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def softmin_extrapolation_walk(
+    x, y, f, g, loga, logb, eps, tbl, tblT, p, block
+):
+    """Walk-traversal twin of :func:`softmin_extrapolation_sparse`."""
+    return sinkhorn_step_walk(
+        eps, x, y, loga, logb, f, g, tbl, tblT, p=p, block=block
+    )
+
+
+def _softmin_extrap_walk_fwd(x, y, f, g, loga, logb, eps, tbl, tblT, p, block):
+    S_xy, S_yx = sinkhorn_step_walk(
+        eps, x, y, loga, logb, f, g, tbl, tblT, p=p, block=block
+    )
+    return (S_xy, S_yx), (
+        x, y, f, g, loga, logb, eps, tbl, tblT, S_xy, S_yx
+    )
+
+
+def _softmin_extrap_walk_bwd(p, block, res, us):
+    x, y, f, g, loga, logb, eps, tbl, tblT, S_xy, S_yx = res
+    u_f, u_g = us
+    dx = _extrap_dx_walk(
+        x, y, f, g, loga, logb, eps, S_xy, u_f, tbl, p, block
+    )
+    dy = _extrap_dx_walk(
+        y, x, g, f, logb, loga, eps, S_yx, u_g, tblT, p, block
+    )
+    z = jnp.zeros_like
+    return (
+        dx.astype(x.dtype),
+        dy.astype(y.dtype),
+        z(f), z(g), z(loga), z(logb),
+        jnp.zeros_like(jnp.asarray(eps)),
+        None, None,
+    )
+
+
+softmin_extrapolation_walk.defvjp(
+    _softmin_extrap_walk_fwd, _softmin_extrap_walk_bwd
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def softmin_extrapolation_walk_sym(x, f, loga, eps, tbl, p, block):
+    """Walk-traversal twin of :func:`softmin_extrapolation_sparse_sym`."""
+    eps32 = jnp.asarray(eps, jnp.float32)
+    phi = loga + f / eps32
+    r = _absorbed_sum_walk(x, x, phi, phi, eps32, tbl, p, block)
+    return (f + eps32 * (loga - jnp.log(r))).astype(f.dtype)
+
+
+def _softmin_extrap_walk_sym_fwd(x, f, loga, eps, tbl, p, block):
+    S = softmin_extrapolation_walk_sym(x, f, loga, eps, tbl, p, block)
+    return S, (x, f, loga, eps, tbl, S)
+
+
+def _softmin_extrap_walk_sym_bwd(p, block, res, u):
+    x, f, loga, eps, tbl, S = res
+    dx = _extrap_dx_walk(
+        x, x, f, f, loga, loga, eps, S, u, tbl, p, block
+    )
+    return (
+        dx.astype(x.dtype),
+        jnp.zeros_like(f),
+        jnp.zeros_like(loga),
+        jnp.zeros_like(jnp.asarray(eps)),
+        None,
+    )
+
+
+softmin_extrapolation_walk_sym.defvjp(
+    _softmin_extrap_walk_sym_fwd, _softmin_extrap_walk_sym_bwd
 )
 
 

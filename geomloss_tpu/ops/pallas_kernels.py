@@ -373,7 +373,16 @@ def sinkhorn_step_pallas(
 
     xT = _pad_axis(x32.T, 1, Np)
     yT = _pad_axis(y32.T, 1, Mp)
-    xhT, yhT = _split6_pair(xT, yT) if exact else (xT, yT)
+    if exact:
+        xhT, yhT = _split6_pair(xT, yT)
+    elif _interpret():
+        # Interpret mode computes f32 dots exactly, which would make the
+        # warm path untestable off-TPU: emulate the MXU's bf16 operand
+        # rounding by truncating the coordinates (slightly conservative —
+        # the MXU rounds to nearest, truncation's error is ~2x larger).
+        xhT, yhT = _bf16_trunc(xT), _bf16_trunc(yT)
+    else:
+        xhT, yhT = xT, yT
     phi_col = _pad_axis(phi[:, None], 0, Np, value=NEG_INF)  # (Np, 1)
     psi_row = _pad_axis(psi[None, :], 1, Mp, value=NEG_INF)  # (1, Mp)
     sqx = _pad_axis(((x32**2).sum(-1))[:, None], 0, Np)
@@ -512,7 +521,14 @@ def sinkhorn_step_sym_pallas(x, f, loga, eps, p=2, block=SYM_BLOCK,
         phi = phi - (0.5 * LOG2E / eps32) * (x32**2).sum(-1)
 
     xT = _pad_axis(x32.T, 1, Np)
-    xhT, yhT = _split6_pair(xT, xT) if exact else (xT, xT)
+    if exact:
+        xhT, yhT = _split6_pair(xT, xT)
+    elif _interpret():
+        # Emulate the MXU's bf16 operand rounding off-TPU (see
+        # sinkhorn_step_pallas).
+        xhT = yhT = _bf16_trunc(xT)
+    else:
+        xhT, yhT = xT, xT
     phi_col = _pad_axis(phi[:, None], 0, Np, value=NEG_INF)  # (Np, 1)
     phi_row = _pad_axis(phi[None, :], 1, Np, value=NEG_INF)  # (1, Np)
     sqx = _pad_axis(((x32**2).sum(-1))[:, None], 0, Np)

@@ -40,13 +40,14 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from ..models.multiscale import (
-    MID_CAP,
+    EXTRAP_BM,
     TILE,
     _scan_iterations,
     auto_tile,
     default_cluster_scale,
     fine_cap_schedule,
     jump_index,
+    mid_cap,
     mid_delay,
     run_mid_phase,
     spatial_sort_blocks,
@@ -56,6 +57,7 @@ from ..ops.block_sparse import (
     build_tile_masks,
     masks_from_coarse,
     retighten_counts,
+    softmin_extrap_truncated,
     softmin_extrapolation_sparse_dir,
 )
 from ..ops.softmin import softmin_points
@@ -219,11 +221,31 @@ def sinkhorn_multiscale_sharded(
     # flow through the fine points (models/multiscale.py ``x_e``/``y_e``):
     x_e = x_s if last_is_jump else x_sd
     y_e = y_s if last_is_jump else y_sd
-    f_ba_f = damp_j * sm(eps_j, (x_e, y_cd), sg(b_log_c + g_ab / eps_j))
-    g_ab_f = damp_j * sm(eps_j, (y_e, x_cd), sg(a_log_c + f_ba / eps_j))
+
+    def _extrap(rows, src, h):
+        # Truncated detached sweeps (round 4) — mirrors
+        # models/multiscale.py::sinkhorn_multiscale.
+        h = sg(h)
+        ns = src.shape[0]
+        if (
+            truncate is not None
+            and not last_is_jump
+            and n_delay > 0
+            and ns % EXTRAP_BM == 0
+            and ns // EXTRAP_BM >= 64
+        ):
+            cap_e = max(8, min(64, -(-(ns // EXTRAP_BM) // 4 // 8) * 8))
+            return softmin_extrap_truncated(
+                rows, src, h, eps_j, truncate, tile, p=p,
+                block_m=EXTRAP_BM, cap=cap_e,
+            )
+        return sm(eps_j, (rows, src), h)
+
+    f_ba_f = damp_j * _extrap(x_e, y_cd, b_log_c + g_ab / eps_j)
+    g_ab_f = damp_j * _extrap(y_e, x_cd, a_log_c + f_ba / eps_j)
     if debias:
-        f_aa_f = damp_j * sm(eps_j, (x_e, x_cd), sg(a_log_c + f_aa / eps_j))
-        g_bb_f = damp_j * sm(eps_j, (y_e, y_cd), sg(b_log_c + g_bb / eps_j))
+        f_aa_f = damp_j * _extrap(x_e, x_cd, a_log_c + f_aa / eps_j)
+        g_bb_f = damp_j * _extrap(y_e, y_cd, b_log_c + g_bb / eps_j)
     else:
         f_aa_f, g_bb_f = jnp.zeros_like(f_ba_f), jnp.zeros_like(g_ab_f)
 
@@ -252,21 +274,23 @@ def sinkhorn_multiscale_sharded(
     # live on the fine cloud — use the tile-geometry keep rule; otherwise
     # the pointwise coarse rule (reference ``kernel_truncation``):
     if n_delay > 0:
-        # N-independent table width (cascade invariant — see
-        # models/multiscale.py::MID_CAP):
-        cap_m = cap if cap is not None else MID_CAP
+        # Tables built at the first fine temperature with an nJ-scaled
+        # width (see models/multiscale.py::mid_cap — round 3's fixed
+        # cap 64 silently clipped ~43% of rows at 2M):
+        eps_b = eps_list[jump + 1]
+        cap_m = cap if cap is not None else mid_cap(x_sd.shape[0], tile)
         a_w, b_w = sg(a_s), sg(b_s)
         mask_xy = build_tile_masks(
-            x_sd, y_sd, sg(f_ba_f), sg(g_ab_f), eps_j, p, truncate,
+            x_sd, y_sd, sg(f_ba_f), sg(g_ab_f), eps_b, p, truncate,
             tile, cap=cap_m, w_x=a_w, w_y=b_w,
         )
         if debias:
             mask_xx = build_tile_masks(
-                x_sd, x_sd, sg(f_aa_f), sg(f_aa_f), eps_j, p, truncate,
+                x_sd, x_sd, sg(f_aa_f), sg(f_aa_f), eps_b, p, truncate,
                 tile, cap=cap_m, w_x=a_w, w_y=a_w, sym=True,
             )
             mask_yy = build_tile_masks(
-                y_sd, y_sd, sg(g_bb_f), sg(g_bb_f), eps_j, p, truncate,
+                y_sd, y_sd, sg(g_bb_f), sg(g_bb_f), eps_b, p, truncate,
                 tile, cap=cap_m, w_x=b_w, w_y=b_w, sym=True,
             )
         else:
@@ -292,19 +316,22 @@ def sinkhorn_multiscale_sharded(
     eps_fine = [float(e) for e in eps_list[jump + 1 :]]
     eps_last = eps_list[-1]
     damp_last = dampening(eps_last, rho)
-    d_last = truncate * (eps_last - eps_j)
+    # Temperature the tables were built at (the retighten deltas are
+    # relative to it): first fine eps on the mid path, jump eps classic.
+    eps_m = eps_list[jump + 1] if n_delay > 0 else eps_j
+    d_last = truncate * (eps_last - eps_m)
 
     # Static per-eps cap slicing (same schedule as the single-device fine
     # phase): masked grid steps still cost ~1 us each, so the tables must
     # shrink with the keep radius as the temperature drops.
-    groups = fine_cap_schedule(eps_fine, eps_j, mask_xy.cols.shape[1])
+    groups = fine_cap_schedule(eps_fine, eps_m, mask_xy.cols.shape[1])
     cap_last = groups[-1][0]
 
     def stacks(es):
         return (
             jnp.asarray(es, dtype),
             jnp.asarray([dampening(e, rho) for e in es], dtype),
-            jnp.asarray([truncate * (e - eps_j) for e in es], dtype),
+            jnp.asarray([truncate * (e - eps_m) for e in es], dtype),
         )
 
     # --- Sharded fine phase -------------------------------------------------
