@@ -81,6 +81,30 @@ def main():
         run_sync(x, y)
     dt = (time.perf_counter() - t0) / reps
 
+    # The tunneled runtime adds ~43 ms per dispatch; the honest chip
+    # figure is the k-chained marginal — k solves chained inside ONE jit
+    # (each iteration's input perturbed by the previous value so XLA
+    # cannot collapse the chain), timed against the k=1 program:
+    def chained(k):
+        @jax.jit
+        def run(x, y):
+            def body(carry, _):
+                v, g = jax.value_and_grad(lambda x: loss(x, y))(
+                    x + carry * 1e-30
+                )
+                return v, g[0, 0]
+            v, gs = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
+            return v + gs.sum()
+
+        float(run(x, y))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(run(x, y))
+        return (time.perf_counter() - t0) / 3
+
+    k = 4
+    marginal = (chained(k) - chained(1)) / (k - 1)
+
     print(
         json.dumps(
             {
@@ -88,6 +112,7 @@ def main():
                 "value": round(dt * 1e3, 2),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_SECONDS / dt, 3),
+                "marginal_ms": round(marginal * 1e3, 2),
             }
         )
     )

@@ -1,9 +1,18 @@
 """Accuracy-vs-speed benchmark: solver error against a tightly-converged
-reference, across backends and epsilon-scaling values.
+reference, across backends, truncation rules and epsilon-scaling values.
 
 Mirrors the reference's accuracy protocol
-(``examples/performances/plot_benchmarks_ot_3D.py``: error on the entropic
-Wasserstein value as a function of the ``scaling`` parameter and backend).
+(``examples/performances/plot_benchmarks_ot_3D.py:166-199``): the
+debiased-value sweep below, PLUS the potentials-based protocol — for each
+of {multiscale truncate=1, multiscale truncate=5, online, tensorized} x
+scalings, solve with ``debias=False, potentials=True`` and report
+
+* the **blurred marginal error** (kernel-norm relative error between the
+  plan marginals encoded by the dual potentials and the target marginals,
+  ``benchmarks_ot_solvers.py:106-173``), and
+* the **entropic Wasserstein distance** ``sqrt(2 (<a,F> + <b,G>))``
+  (``:187-205``) against the scaling-0.99 tensorized ground truth.
+
 Prints one JSON line per configuration.
 """
 
@@ -15,6 +24,116 @@ import numpy as np
 from bench import sphere_cloud
 
 N = 5000  # small enough for a tensorized high-precision reference
+
+
+def _dense_cost(x, y):
+    import jax.numpy as jnp
+
+    return (
+        (x**2).sum(-1)[:, None]
+        + (y**2).sum(-1)[None, :]
+        - 2.0 * x @ y.T
+    ) / 2
+
+
+def plan_marginals(blur, a, x, b, y, F, G):
+    """Marginals of the plan encoded by the dual potentials
+    (``benchmarks_ot_solvers.py:106-123``)."""
+    import jax.numpy as jnp
+
+    eps = blur**2
+    K = jnp.exp((F[:, None] + G[None, :] - _dense_cost(x, y)) / eps)
+    return a * (K @ b), b * (K.T @ a)
+
+
+def blurred_relative_error(blur, x, a, A):
+    """Kernel-norm relative error |A - a| / |a| w.r.t. k_eps
+    (``benchmarks_ot_solvers.py:137-149``)."""
+    import jax.numpy as jnp
+
+    K = jnp.exp(-_dense_cost(x, x) / blur**2)
+    d = A - a
+    return jnp.sqrt((d @ (K @ d)) / (a @ (K @ a)))
+
+
+def marginal_error(blur, a, x, b, y, F, G):
+    A, B = plan_marginals(blur, a, x, b, y, F, G)
+    return 0.5 * (
+        blurred_relative_error(blur, x, a, A)
+        + blurred_relative_error(blur, y, b, B)
+    )
+
+
+def wasserstein_distance(a, b, F, G):
+    import jax.numpy as jnp
+
+    return jnp.sqrt(2.0 * (a @ F + b @ G))
+
+
+def potentials_protocol(x, y, blur):
+    """The reference's truncate-{1,5} / marginal-error sweep
+    (``plot_benchmarks_ot_3D.py:166-199``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geomloss_tpu import SamplesLoss
+
+    a = jnp.ones((N,), jnp.float32) / N
+    b = jnp.ones((N,), jnp.float32) / N
+
+    # Ground truth: tensorized potentials at scaling 0.99.
+    gt_loss = SamplesLoss(
+        "sinkhorn", p=2, blur=blur, diameter=2.0, scaling=0.99,
+        backend="tensorized", debias=False, potentials=True,
+    )
+    F, G = jax.jit(lambda x, y: gt_loss(a, x, b, y))(x, y)
+    truth = float(wasserstein_distance(a, b, F.reshape(-1), G.reshape(-1)))
+    print(
+        json.dumps(
+            {"metric": f"ground_truth_wasserstein_blur{blur}", "value": truth}
+        ),
+        flush=True,
+    )
+
+    configs = [
+        ("multiscale-1", "multiscale", 1),
+        ("multiscale-5", "multiscale", 5),
+        ("online", "online", None),
+        ("tensorized", "tensorized", None),
+    ]
+    err_fn = jax.jit(
+        lambda F, G: (
+            marginal_error(blur, a, x, b, y, F, G),
+            wasserstein_distance(a, b, F, G),
+        )
+    )
+    for name, backend, truncate in configs:
+        for scaling in [0.5, 0.7, 0.9, 0.99]:
+            loss = SamplesLoss(
+                "sinkhorn", p=2, blur=blur, diameter=2.0, scaling=scaling,
+                truncate=truncate, backend=backend, debias=False,
+                potentials=True,
+            )
+            step = jax.jit(lambda x, y: loss(a, x, b, y))
+            F, G = step(x, y)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                F, G = step(x, y)
+                float(F.reshape(-1)[0])
+            dt = (time.perf_counter() - t0) / 3
+            me, wd = err_fn(F.reshape(-1), G.reshape(-1))
+            print(
+                json.dumps(
+                    {
+                        "metric": f"{name}_blur{blur}_scaling{scaling}",
+                        "value_ms": round(dt * 1e3, 2),
+                        "marginal_error": float(me),
+                        "wasserstein": float(wd),
+                        "err_vs_truth": abs(float(wd) - truth),
+                    }
+                ),
+                flush=True,
+            )
 
 
 def main():
@@ -101,6 +220,11 @@ def main():
                 ),
                 flush=True,
             )
+
+    # The reference's full potentials protocol (truncate sweep + marginal
+    # errors), for both blur legs:
+    potentials_protocol(x, y, 0.05)
+    potentials_protocol(x, y, 0.01)
 
 
 if __name__ == "__main__":

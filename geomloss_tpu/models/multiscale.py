@@ -37,6 +37,7 @@ from jax import lax
 
 from ..ops.block_sparse import (
     build_tile_masks,
+    lse_sparse_custom,
     masks_from_coarse,
     retighten_counts,
     sinkhorn_step_walk,
@@ -291,6 +292,14 @@ def fine_cap_schedule(eps_fine, eps_j, cap0):
     return groups
 
 
+def fine_warmup(cluster_scale, p, eps_target):
+    """Extra fine iterations at the entry temperature when the target blur
+    resolves far below the cluster scale (``eps_target = blur**p``). Zero
+    at the default blur=.05 3D setup (ratio ~3.4); two at blur=.01
+    (ratio ~84), where they wash out the coarse warm-start bias."""
+    return 2 if cluster_scale**p > 50 * eps_target else 0
+
+
 def mid_delay(n_max, eps_list, jump, scaling, p):
     """Number of post-jump annealing steps to spend on the pooled
     intermediate scale (0 = classic two-scale descent).
@@ -487,11 +496,6 @@ def sinkhorn_multiscale(
     ``cap`` bounds the number of visited column tiles per row tile
     (default: a sixteenth of the tiles, at least 8).
     """
-    if cost is not None:
-        raise NotImplementedError(
-            "Custom costs are not supported by the multiscale backend "
-            "(the reference requires KeOps formula strings here)."
-        )
     N, D = x.shape
     M, _ = y.shape
 
@@ -543,7 +547,14 @@ def sinkhorn_multiscale(
     a_log_c, b_log_c = log_weights(aw_c), log_weights(bw_c)
     a_log_f, b_log_f = log_weights(a_s), log_weights(b_s)
 
-    sm = partial(softmin_points, p=p, impl=impl)
+    # Custom costs (reference capability, KeOps formula strings upstream —
+    # ``_legacy/sinkhorn_samples.py:558,570-573``; any traced JAX callable
+    # here): the coarse phase and extrapolations stream through the
+    # chunked custom-cost softmin, truncation scores evaluate the user
+    # cost between block centroids exactly like the reference, and the
+    # fine phase runs a gather-based truncated LSE. Clustering stays
+    # Euclidean (so does the reference's voxel grid_cluster).
+    sm = partial(softmin_points, p=p, impl=impl, cost=cost)
     x_cd, y_cd = sg(x_c), sg(y_c)
     x_sd, y_sd = sg(x_s), sg(y_s)
 
@@ -582,7 +593,7 @@ def sinkhorn_multiscale(
     # --- Optional intermediate scale (third scale, round-3 extension) ----------
     # See :func:`mid_delay` / :func:`run_mid_phase`.
     n_delay = 0
-    if truncate is not None and not last_is_jump:
+    if truncate is not None and not last_is_jump and cost is None:
         n_delay = mid_delay(max(N, M), eps_list, jump, scaling, p)
 
     if n_delay > 0:
@@ -663,7 +674,125 @@ def sinkhorn_multiscale(
             f_ba_m=f_ba, g_ab_m=g_ab, f_aa_m=f_aa, g_bb_m=g_bb,
         )
 
-    if not last_is_jump:
+    if not last_is_jump and cost is not None:
+        # --- Custom-cost fine phase --------------------------------------------
+        eps_fine = list(eps_list[jump + 1:])
+        eps_fine = [eps_fine[0]] * fine_warmup(cluster_scale, p, eps) \
+            + eps_fine
+        if truncate is not None:
+            bpt = tile // block_size
+            mask_xy = masks_from_coarse(
+                x_cd, y_cd, f_ba, g_ab, aw_c, bw_c, eps_j, p, truncate, bpt,
+                cap=cap, cost=cost,
+            )
+            if debias:
+                mask_xx = masks_from_coarse(
+                    x_cd, x_cd, f_aa, f_aa, aw_c, aw_c, eps_j, p, truncate,
+                    bpt, cap=cap, sym=True, cost=cost,
+                )
+                mask_yy = masks_from_coarse(
+                    y_cd, y_cd, g_bb, g_bb, bw_c, bw_c, eps_j, p, truncate,
+                    bpt, cap=cap, sym=True, cost=cost,
+                )
+
+            def _cnt(vals, e):
+                return jnp.minimum(
+                    retighten_counts(vals, truncate * (e - eps_j)),
+                    vals.shape[1],
+                )
+
+            def _lse_c(rows, src, h, e, cols, cnt):
+                return -e * lse_sparse_custom(
+                    rows, src, h, e, cols, cnt, cost, tile
+                )
+
+            fns = (
+                lambda e, f, g, t: (
+                    _lse_c(x_sd, y_sd, b_log_f + g / e, e,
+                           mask_xy.cols, _cnt(mask_xy.vals, e)),
+                    _lse_c(y_sd, x_sd, a_log_f + f / e, e,
+                           mask_xy.colsT, _cnt(mask_xy.valsT, e)),
+                ),
+                (
+                    lambda e, f, t: _lse_c(
+                        x_sd, x_sd, a_log_f + f / e, e,
+                        mask_xx.cols, _cnt(mask_xx.vals, e),
+                    )
+                ) if debias else None,
+                (
+                    lambda e, g, t: _lse_c(
+                        y_sd, y_sd, b_log_f + g / e, e,
+                        mask_yy.cols, _cnt(mask_yy.vals, e),
+                    )
+                ) if debias else None,
+            )
+
+            def run_fine_groups(carry):
+                return _scan_iterations(
+                    (None, None, None, None), carry, eps_fine, rho,
+                    (a_log_f, b_log_f), debias, dtype, fused=fns,
+                )
+
+            def fused_extrap(eps_last, f_ba_f, g_ab_f, f_aa_f, g_bb_f):
+                S_xy = _lse_c(
+                    x_s, y_sd, sg(b_log_f + g_ab_f / eps_last), eps_last,
+                    mask_xy.cols, _cnt(mask_xy.vals, eps_last),
+                )
+                S_yx = _lse_c(
+                    y_s, x_sd, sg(a_log_f + f_ba_f / eps_last), eps_last,
+                    mask_xy.colsT, _cnt(mask_xy.valsT, eps_last),
+                )
+                if debias:
+                    S_xx = _lse_c(
+                        x_s, x_sd, sg(a_log_f + f_aa_f / eps_last), eps_last,
+                        mask_xx.cols, _cnt(mask_xx.vals, eps_last),
+                    )
+                    S_yy = _lse_c(
+                        y_s, y_sd, sg(b_log_f + g_bb_f / eps_last), eps_last,
+                        mask_yy.cols, _cnt(mask_yy.vals, eps_last),
+                    )
+                else:
+                    S_xx = S_yy = None
+                return S_xy, S_yx, S_xx, S_yy
+
+        else:
+            fine_fns = (
+                lambda e, h: sm(e, (x_sd, y_sd), h),
+                lambda e, h: sm(e, (y_sd, x_sd), h),
+                lambda e, h: sm(e, (x_sd, x_sd), h),
+                lambda e, h: sm(e, (y_sd, y_sd), h),
+            )
+
+            def run_fine_groups(carry):
+                return _scan_iterations(
+                    fine_fns, carry, eps_fine, rho,
+                    (a_log_f, b_log_f), debias, dtype,
+                )
+
+            def fused_extrap(eps_last, f_ba_f, g_ab_f, f_aa_f, g_bb_f):
+                S_xy = sm(eps_last, (x_s, y_sd), sg(b_log_f + g_ab_f / eps_last))
+                S_yx = sm(eps_last, (y_s, x_sd), sg(a_log_f + f_ba_f / eps_last))
+                if debias:
+                    S_xx = sm(eps_last, (x_s, x_sd), sg(a_log_f + f_aa_f / eps_last))
+                    S_yy = sm(eps_last, (y_s, y_sd), sg(b_log_f + g_bb_f / eps_last))
+                else:
+                    S_xx = S_yy = None
+                return S_xy, S_yx, S_xx, S_yy
+
+        # --- Fine iterations (detached) + differentiable extrapolation --------
+        f_ba_f, g_ab_f, f_aa_f, g_bb_f = run_fine_groups(
+            (f_ba_f, g_ab_f, f_aa_f, g_bb_f)
+        )
+        eps_last = eps_list[-1]
+        damp = dampening(eps_last, rho)
+        S_xy, S_yx, S_xx, S_yy = fused_extrap(
+            eps_last, f_ba_f, g_ab_f, f_aa_f, g_bb_f
+        )
+        f_ba_f, g_ab_f = damp * S_xy, damp * S_yx
+        if debias:
+            f_aa_f, g_bb_f = damp * S_xx, damp * S_yy
+
+    elif not last_is_jump:
         # --- Kernel truncation: tile masks from the extrapolated potentials ----
         if truncate is not None:
             if n_delay > 0:
@@ -739,6 +868,15 @@ def sinkhorn_multiscale(
             # least linearly in it; overflows degrade to best-score top-k
             # exactly like the global cap.
             eps_fine = list(eps_list[jump + 1:])
+            # Tiny blurs resolve far below the cluster scale: the coarse
+            # warm-start error then survives the few single-pass fine
+            # iterations and biases the value (~29% of the debiased value
+            # at blur .01 / scaling .5, committed BENCH_ACCURACY rows).
+            # Spend extra iterations at the fine-entry temperature — each
+            # averaged update halves the leftover coarse offset, and the
+            # entry temperature is exactly the scale of the discrepancy:
+            eps_fine = [eps_fine[0]] * fine_warmup(cluster_scale, p, eps) \
+                + eps_fine
             cap0 = mask_xy.cols.shape[1]
             # Temperature the tables were built at (the retighten deltas
             # are relative to it): first fine eps on the mid path, jump
@@ -849,9 +987,11 @@ def sinkhorn_multiscale(
             )
 
             def run_fine_groups(carry):
+                es = list(eps_list[jump + 1:])
+                es = [es[0]] * fine_warmup(cluster_scale, p, eps) + es
                 return _scan_iterations(
                     (None, None, None, None), carry,
-                    eps_list[jump + 1:], rho,
+                    es, rho,
                     (a_log_f, b_log_f), debias, dtype,
                     fused=fused_fine,
                 )

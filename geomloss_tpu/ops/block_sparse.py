@@ -924,7 +924,7 @@ def softmin_extrap_truncated(rows_pts, src_pts, h, eps, truncate, block_n,
 
 def masks_from_coarse(
     cx, cy, f_c, g_c, w_x, w_y, eps, p, truncate, blocks_per_tile, cap=None,
-    sym=False,
+    sym=False, cost=None,
 ):
     """Tile masks from the reference's *pointwise* centroid keep rule.
 
@@ -950,7 +950,13 @@ def masks_from_coarse(
     """
     from .costs import cost_routines
 
-    C = cost_routines[p](cx, cy)  # (K_x, K_y)
+    if cost is None:
+        C = cost_routines[p](cx, cy)  # (K_x, K_y)
+    else:
+        # The reference's custom-cost truncation evaluates the user's
+        # routine between cluster centroids (same smoothness assumption,
+        # ``_legacy/sinkhorn_samples.py:505-516``):
+        C = cost(cx[None], cy[None])[0]
     score = f_c[:, None] + g_c[None, :] - C + truncate * eps
     valid = (w_x > 0)[:, None] & (w_y > 0)[None, :]
     score = jnp.where(valid, score, NEG_INF)
@@ -1695,6 +1701,42 @@ def _softmin_extrap_dir_bwd(p, block, res, u):
 softmin_extrapolation_sparse_dir.defvjp(
     _softmin_extrap_dir_fwd, _softmin_extrap_dir_bwd
 )
+
+
+def lse_sparse_custom(x, y, h, eps, cols, counts, cost, block):
+    """Truncated streaming LSE with a user-supplied cost callable.
+
+    The Pallas kernels hard-wire the built-in ``|x-y|^p / p`` costs (the
+    dot-expansion trick); custom costs instead run a gather-based XLA
+    path: for each row tile, its kept column tiles are gathered into a
+    packed block and the user callable ``cost((1, bn, D), (1, cap*bm, D))
+    -> (1, bn, cap*bm)`` is evaluated on it — the truncation's pair-count
+    saving is preserved without kernel codegen, and plain autodiff (with
+    per-tile rematerialization) provides gradients. The reference's
+    multiscale backend only accepts KeOps *formula strings* here
+    (``_legacy/sinkhorn_samples.py:558,570-573``); any traced JAX callable
+    works.
+    """
+    N, D = x.shape
+    M, _ = y.shape
+    nI, cap = cols.shape
+    yt = y.reshape(M // block, block, D)
+    ht = h.reshape(M // block, block)
+    xt = x.reshape(nI, block, D)
+
+    @jax.checkpoint
+    def per_tile(args):
+        xi, ci, ni = args
+        yg = yt[ci].reshape(1, cap * block, D)  # (1, cap*bm, D) gather
+        hg = ht[ci].reshape(-1)  # (cap*bm,)
+        C = cost(xi[None], yg)[0]  # (bn, cap*bm)
+        live = jnp.repeat(jnp.arange(cap) < ni, block)  # mask the frozen
+        scores = jnp.where(live[None, :], hg[None, :] - C / eps, NEG_INF)
+        # A user cost may compute in a wider dtype (e.g. f64 under x64);
+        # the solver carry stays in the potentials' dtype:
+        return jax.nn.logsumexp(scores, axis=-1).astype(h.dtype)
+
+    return lax.map(per_tile, (xt, cols, counts)).reshape(-1)
 
 
 def softmin_sparse(eps, C_xy, h, p=2, block=256):

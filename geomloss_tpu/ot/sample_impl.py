@@ -329,6 +329,7 @@ def solve_sample(
         method=method,
         tol=tol,
         max_iter=max_iter,
+        allowed_methods=("auto", "multiscale"),
     )
 
     if len(X_a.shape) != 2:
@@ -355,6 +356,13 @@ def solve_sample(
     array_properties = ArrayProperties(
         B=0, N=N, M=M, dtype=dtype, device=device, library=library
     )
+
+    if method == "multiscale":
+        return _solve_sample_multiscale(
+            X_a, X_b, a, b, cost=cost, debias=debias, reg=reg,
+            unbalanced=unbalanced, unbalanced_type=unbalanced_type,
+            max_iter=max_iter, array_properties=array_properties,
+        )
 
     descent = annealing_parameters(
         maxmin_cost=max_diameter(X_a, X_b) ** p,
@@ -392,6 +400,164 @@ def solve_sample(
         a=a,
         b=b,
         C=C_list[-1],
+        cost=cost,
+        reg=reg,
+        reg_type="KL",
+        unbalanced=unbalanced,
+        unbalanced_type=unbalanced_type,
+        debias=debias,
+        potentials=potentials,
+        array_properties=array_properties,
+    )
+
+
+def _cluster_measure(w, pts, block):
+    """Hilbert-order labels + pooled coarse measure (ceil(N/block) blocks,
+    last one ragged — fine here: pooling is label-based segment_sums, not
+    fixed-shape tiles)."""
+    from ..ops.spatial import hilbert_key, radix_sort_perm
+
+    n = pts.shape[0]
+    K = -(-n // block)
+    perm = radix_sort_perm(
+        hilbert_key(pts.astype(jnp.float32), bits=8),
+        total_bits=pts.shape[1] * 8,
+    )
+    lab_sorted = (jnp.arange(n) // block).astype(jnp.int32)
+    labels = jnp.zeros(n, jnp.int32).at[perm].set(lab_sorted)
+    wc = jax.ops.segment_sum(w, labels, num_segments=K)
+    cent = jax.ops.segment_sum(w[:, None] * pts, labels, num_segments=K)
+    cent = cent / jnp.maximum(wc, 1e-30)[:, None]
+    return wc, cent, labels
+
+
+#: "Pruned" fine-cost value of the new-API truncation (finite, like the
+#: jump-branch tests: keeps the dense logsumexp NaN-free).
+_PRUNED_COST = 1.0e5
+
+
+def _solve_sample_multiscale(
+    X_a, X_b, a, b, *, cost, debias, reg, unbalanced, unbalanced_type,
+    max_iter, array_properties,
+):
+    """Two-scale (clustered) descent through the abstract loop's jump
+    branch — a public front-end for the machinery that is unreachable
+    dead code upstream (reference ``sinkhorn_ot.py:299-412``; no caller
+    builds a multi-scale ``C_list`` there).
+
+    Clusters are Hilbert-ordered blocks; the coarse iterations run on
+    weighted centroids until the temperature resolves the cluster size,
+    then ``kernel_truncation`` prunes fine cost entries whose clusters
+    fail the reference keep rule ``f + g > C - truncate * eps`` and
+    ``extrapolate`` carries the duals down (coupled extrapolation).
+    Dense-matrix scale only (use ``SamplesLoss(backend="multiscale")``
+    for streaming clouds).
+    """
+    N, D = X_a.shape
+    M, _ = X_b.shape
+    if N * M > STREAMING_THRESHOLD:
+        raise NotImplementedError(
+            "method='multiscale' on ot.solve_sample builds dense two-scale "
+            "cost matrices; for larger clouds use the streaming "
+            "SamplesLoss(..., backend='multiscale') solver."
+        )
+    if min(N, M) < 64:
+        raise ValueError(
+            "method='multiscale' needs at least 64 points per cloud "
+            f"(received {N} x {M})."
+        )
+
+    # Cluster both clouds; force distinct coarse sizes so the four
+    # problems (xy, yx, xx, yy) are shape-identifiable inside the
+    # truncation/extrapolation callables:
+    bx = max(4, 1 << max(0, (N // 64).bit_length() - 1))
+    by = max(4, 1 << max(0, (M // 64).bit_length() - 1))
+    while -(-N // bx) == -(-M // by):
+        by *= 2
+    aw_c, x_c, lab_a = _cluster_measure(a, X_a, bx)
+    bw_c, y_c, lab_b = _cluster_measure(b, X_b, by)
+    Kx, Ky = aw_c.shape[0], bw_c.shape[0]
+
+    C_coarse = CostMatrices(
+        xy=cost_matrix(x_c, y_c, cost=cost),
+        yx=cost_matrix(y_c, x_c, cost=cost),
+        xx=cost_matrix(x_c, x_c, cost=cost) if debias else None,
+        yy=cost_matrix(y_c, y_c, cost=cost) if debias else None,
+    )
+    C_fine = CostMatrices(
+        xy=cost_matrix(X_a, X_b, cost=cost),
+        yx=cost_matrix(X_b, X_a, cost=cost),
+        xx=cost_matrix(X_a, X_a, cost=cost) if debias else None,
+        yy=cost_matrix(X_b, X_b, cost=cost) if debias else None,
+    )
+
+    # Jump temperature: the squared cluster size (sqeuclidean cost units;
+    # the legacy jump rule, ``_legacy/sinkhorn_samples.py:592-597``):
+    sigma2 = 4.0 * float(
+        jnp.maximum(
+            ((X_a - x_c[lab_a]) ** 2).sum(-1).max(),
+            ((X_b - y_c[lab_b]) ** 2).sum(-1).max(),
+        )
+    )
+    sigma2 = max(sigma2, 1.001 * reg)
+
+    descent = annealing_parameters(
+        maxmin_cost=max_diameter(X_a, X_b) ** 2,
+        eps=reg,
+        rho=unbalanced,
+        n_iter=max_iter,
+        eps_scales=[sigma2, reg],
+    )
+
+    labels = {
+        (Kx, Ky): (lab_a, lab_b),
+        (Ky, Kx): (lab_b, lab_a),
+        (Kx, Kx): (lab_a, lab_a),
+        (Ky, Ky): (lab_b, lab_b),
+    }
+    rows_of = {Kx: X_a, Ky: X_b}
+    cents_of = {Kx: x_c, Ky: y_c}
+    mixed = {}
+
+    def kernel_truncation(*, C, C_fine, f, eps, CT=None, CT_fine=None,
+                          g=None, truncate=5.0):
+        g_c = f if g is None else g
+        keep = f[:, None] + g_c[None, :] > C - truncate * eps
+        la, lb = labels[C.shape]
+        keep_f = keep[la[:, None], lb[None, :]]
+        Cf = jnp.where(keep_f, C_fine, _PRUNED_COST)
+        CfT = (
+            jnp.where(keep_f.T, CT_fine, _PRUNED_COST)
+            if CT_fine is not None else None
+        )
+        return Cf, CfT
+
+    def extrapolate(*, self, other, log_weights, C, C_fine, eps, dampen):
+        key = (self.shape[0], log_weights.shape[0])
+        if key not in mixed:
+            mixed[key] = cost_matrix(
+                rows_of[key[0]], cents_of[key[1]], cost=cost
+            )
+        return dampen(softmin_sample(eps, log_weights, mixed[key], other))
+
+    potentials = sinkhorn_loop(
+        softmin=softmin_sample,
+        log_a_list=[stable_log(aw_c), stable_log(a)],
+        log_b_list=[stable_log(bw_c), stable_log(b)],
+        C_list=[C_coarse, C_fine],
+        descent=descent,
+        kernel_truncation=kernel_truncation,
+        extrapolate=extrapolate,
+        debias=debias,
+        last_extrapolation=True,
+    )
+
+    return OTResultSample(
+        X_a=X_a,
+        X_b=X_b,
+        a=a,
+        b=b,
+        C=C_fine,
         cost=cost,
         reg=reg,
         reg_type="KL",

@@ -46,6 +46,7 @@ from ..models.multiscale import (
     auto_tile,
     default_cluster_scale,
     fine_cap_schedule,
+    fine_warmup,
     jump_index,
     mid_cap,
     mid_delay,
@@ -314,6 +315,9 @@ def sinkhorn_multiscale_sharded(
             mask_xx = mask_yy = jax.tree.map(lambda v: v[:0], mask_xy)
 
     eps_fine = [float(e) for e in eps_list[jump + 1 :]]
+    # Wash out the coarse warm-start bias at tiny blurs (see
+    # models/multiscale.py::fine_warmup):
+    eps_fine = [eps_fine[0]] * fine_warmup(cluster_scale, p, eps) + eps_fine
     eps_last = eps_list[-1]
     damp_last = dampening(eps_last, rho)
     # Temperature the tables were built at (the retighten deltas are

@@ -43,8 +43,12 @@ class ArrayProperties(NamedTuple):
     library: str  # Always "jax" here
 
 
-def check_regularization(*, reg, unbalanced, unbalanced_type, method, tol, max_iter):
-    """Reference: ``_arguments.py:14-49``."""
+def check_regularization(*, reg, unbalanced, unbalanced_type, method, tol,
+                         max_iter, allowed_methods=("auto",)):
+    """Reference: ``_arguments.py:14-49``. ``allowed_methods`` extends the
+    upstream single-method contract where a front-end implements more
+    (``ot.solve_sample`` accepts ``method="multiscale"`` here — upstream
+    the multiscale jump branch of the abstract loop is unreachable)."""
     if reg < 0:
         raise ValueError(f"Parameter 'reg' should be >= 0. Received {reg}.")
     elif reg == 0:
@@ -62,7 +66,7 @@ def check_regularization(*, reg, unbalanced, unbalanced_type, method, tol, max_i
             "a 'KL' penalty on the marginal constraints."
         )
 
-    if method != "auto":
+    if method not in allowed_methods:
         raise NotImplementedError("Currently, we only support a single method.")
 
     if max_iter is None:
