@@ -202,3 +202,38 @@ def test_walk_budget_clip_degrades_gracefully(monkeypatch):
 
     assert np.isfinite(tight)
     assert abs(tight - full) / max(abs(full), 1e-6) < 0.3, (tight, full)
+
+
+@pytest.mark.slow
+def test_clustered_data_mid_path_matches_untruncated(monkeypatch):
+    # Round-3 verdict, "stress the cascade constants": the cascade's cap /
+    # walk-budget sizing was calibrated on uniform benchmark spheres; on
+    # heavily clustered data the kept-tile distribution is far from its
+    # mean (dense rows inside a cluster, empty rows across). Force the mid
+    # path on 8 tight Gaussian clusters and pin the truncated value against
+    # the exact (truncate=None) fine phase.
+    import jax
+
+    from geomloss_tpu.models import multiscale as msmod
+
+    rng = np.random.RandomState(21)
+    N = 4096
+    centers = rng.rand(8, 3)
+    lab = rng.randint(0, 8, size=N)
+    x = jnp.asarray(centers[lab] + 0.02 * rng.randn(N, 3), jnp.float32)
+    lab2 = rng.randint(0, 8, size=N)
+    y = jnp.asarray(centers[lab2] + 0.02 * rng.randn(N, 3), jnp.float32)
+    a = jnp.full((N,), 1.0 / N, jnp.float32)
+    kw = dict(p=2, blur=0.05, diameter=2.0, scaling=0.7)
+
+    monkeypatch.setattr(msmod, "N_FINE_OK", 512)  # force n_delay > 0
+    jax.clear_caches()
+    try:
+        exact = float(sinkhorn_multiscale(a, x, a, y, truncate=None, **kw))
+        trunc = float(sinkhorn_multiscale(a, x, a, y, truncate=5, **kw))
+    finally:
+        monkeypatch.setattr(msmod, "N_FINE_OK", 1 << 20)
+        jax.clear_caches()
+
+    assert np.isfinite(trunc)
+    assert abs(trunc - exact) / max(abs(exact), 1e-9) < 1e-2, (trunc, exact)
