@@ -33,7 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 from typing import NamedTuple
 
 from .costs import COORD_PRECISION
-from .pallas_kernels import LN2, LOG2E, _bf16_trunc, _scores_dot, _split6_pair
+from .pallas_kernels import (
+    LN2,
+    LOG2E,
+    MXU_MIN_CHANNELS,
+    _bf16_trunc,
+    _scores_dot,
+    _split6_pair,
+    _vpu_channels,
+    _vt_dot_w,
+)
 
 NEG_INF = -1e30
 
@@ -517,7 +526,7 @@ def lse_walk(x, y, h, eps, tbl, p=2, block_n=256, block_m=512):
 
 
 def _apply_walk_kernel(
-    tbl_ref, eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref, *rest, p, kind,
+    tbl_ref, eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref, *rest, p, kind, mxu,
 ):
     if p == 2 and kind not in ("energy", "inv_dist"):
         VT_ref, o_ref = rest
@@ -543,22 +552,10 @@ def _apply_walk_kernel(
                 w = jnp.exp2(phi_ref[:] + (psi_ref[:] - dw * c2))
                 if kind == "gibbs_grad":
                     w = jnp.where(sq > 1e-6, w / d, 0.0)
-        if VT_ref.shape[0] == 1:
-            return jnp.sum(w * VT_ref[:], axis=1, keepdims=True)
-        C = VT_ref.shape[0] // 2
-        V1 = VT_ref[:C, :]
-        V2 = VT_ref[C:, :]
-        w1 = _bf16_trunc(w)
-        w2 = w - w1
-        dn = (((1,), (1,)), ((), ()))
-        return (
-            lax.dot_general(w1, V1, dimension_numbers=dn,
-                            preferred_element_type=jnp.float32)
-            + lax.dot_general(w1, V2, dimension_numbers=dn,
-                              preferred_element_type=jnp.float32)
-            + lax.dot_general(w2, V1, dimension_numbers=dn,
-                              preferred_element_type=jnp.float32)
-        )
+        if not mxu:
+            # Exact-f32 per-channel VPU reductions (see _vpu_channels):
+            return _vpu_channels(w, VT_ref[:])
+        return _vt_dot_w(VT_ref[:], w)
 
     @pl.when(fl == 1)
     def _first():
@@ -596,12 +593,21 @@ def gibbs_apply_walk(
     sqx = ((x32**2).sum(-1))[:, None]
     sqy = ((y32**2).sum(-1))[None, :]
     VT = V.astype(f32).T
-    if C > 1:
+    mxu = C >= MXU_MIN_CHANNELS
+    if mxu:
         VT1 = _bf16_trunc(VT)
         VT = jnp.concatenate([VT1, VT - VT1], axis=0)
     eps_arr = eps32.reshape(1)
 
-    target = (1024 * 2048) if C == 1 else (256 * 1024)
+    # VPU-channel path keeps the C=1 live-buffer budget (scores + w +
+    # one reduction temp); only the wide-C MXU path pays the split
+    # buffers with a smaller row sub-block:
+    if C == 1:
+        target = 1024 * 2048
+    elif not mxu:
+        target = 1024 * 1024
+    else:
+        target = 256 * 1024
     bn = min(block_n, max(128, target // block_m))
     s = block_n // bn
     K = xhT.shape[0]
@@ -633,21 +639,31 @@ def gibbs_apply_walk(
             pl.BlockSpec((VT.shape[0], block_m), lambda k, t, tb, e: (0, _jt(tb, t)))
         )
         ops.append(VT)
+        if not mxu:
+            out_specs = pl.BlockSpec(
+                (bn, C), lambda k, t, tb, e: (_it(tb, t) * s + k, 0)
+            )
+            out_shape = jax.ShapeDtypeStruct((rows_c * block_n, C), f32)
+        else:
+            # Transposed accumulation (see _vt_dot_w): (C, bn) blocks.
+            out_specs = pl.BlockSpec(
+                (C, bn), lambda k, t, tb, e: (0, _it(tb, t) * s + k)
+            )
+            out_shape = jax.ShapeDtypeStruct((C, rows_c * block_n), f32)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(s, T_c),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (bn, C), lambda k, t, tb, e: (_it(tb, t) * s + k, 0)
-            ),
+            out_specs=out_specs,
             scratch_shapes=[],
         )
-        return pl.pallas_call(
-            functools.partial(_apply_walk_kernel, p=p, kind=kind),
+        out = pl.pallas_call(
+            functools.partial(_apply_walk_kernel, p=p, kind=kind, mxu=mxu),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((rows_c * block_n, C), f32),
+            out_shape=out_shape,
             interpret=_interpret(),
         )(tbl_c, eps_arr, *ops)
+        return out if not mxu else out.T
 
     return _launch_walk(
         launch, nI, tbl,
@@ -1114,7 +1130,7 @@ def lse_sparse(x, y, h, eps, cols, counts, p=2, block_n=256, block_m=512):
 
 def _apply_sparse_kernel(
     cols_ref, counts_ref, eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref,
-    sqx_ref, sqy_ref, VT_ref, o_ref, acc_ref, *, p, kind, s=1,
+    sqx_ref, sqy_ref, VT_ref, o_ref, acc_ref, *, p, kind, mxu, s=1,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -1145,32 +1161,15 @@ def _apply_sparse_kernel(
                 w = jnp.exp2(phi_ref[:] + (psi_ref[:] - dw * c2))
                 if kind == "gibbs_grad":
                     w = jnp.where(sq > 1e-6, w / d, 0.0)
-        if VT_ref.shape[0] == 1:
-            # Single-channel matvec: exact f32 broadcast multiply + row
-            # reduction on the VPU (also sidesteps Mosaic's C=1
+        if not mxu:
+            # Exact f32 per-channel broadcast multiply + row reduction on
+            # the VPU (see _vpu_channels; also sidesteps Mosaic's C=1
             # dot_general-into-accumulator limitation).
-            acc_ref[:] += jnp.sum(w * VT_ref[:], axis=1, keepdims=True)
+            acc_ref[:] += _vpu_channels(w, VT_ref[:])
         else:
-            # Both contraction operands are split into bf16-exact summands
-            # (the caller stacks V = V1 + V2 along the channel axis) so the
-            # result reaches ~2^-14 relative accuracy on the bf16 MXU:
-            C = VT_ref.shape[0] // 2
-            V1 = VT_ref[:C, :]
-            V2 = VT_ref[C:, :]
-            w1 = _bf16_trunc(w)
-            w2 = w - w1
-            dn = (((1,), (1,)), ((), ()))
-            acc_ref[:] += (
-                lax.dot_general(
-                    w1, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
-                )
-                + lax.dot_general(
-                    w1, V2, dimension_numbers=dn, preferred_element_type=jnp.float32
-                )
-                + lax.dot_general(
-                    w2, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
-                )
-            )
+            # Wide-C: bf16-exact summand split, transposed (C, bn)
+            # accumulation (see _vt_dot_w for the MXU layout rationale):
+            acc_ref[:] += _vt_dot_w(VT_ref[:], w)
 
     @pl.when(j == nj - 1)
     def _finalize():
@@ -1212,21 +1211,28 @@ def gibbs_apply_sparse(
     sqx = ((x32**2).sum(-1))[:, None]
     sqy = ((y32**2).sum(-1))[None, :]
     VT = V.astype(f32).T
-    if C > 1:
-        # bf16-exact summand split (C == 1 uses an exact f32 VPU
-        # row reduction instead):
+    mxu = C >= MXU_MIN_CHANNELS
+    if mxu:
+        # bf16-exact summand split (narrow C uses exact f32 VPU
+        # row reductions instead):
         VT1 = _bf16_trunc(VT)
         VT = jnp.concatenate([VT1, VT - VT1], axis=0)  # (2 C, M)
     eps_arr = eps32.reshape(1)
 
     # Row subdivision: large logical tiles share one cols row across s
     # row sub-blocks, keeping the SMEM tables at tile granularity while
-    # the VMEM-resident (bn, block_m) weight block (plus its two
-    # bf16-split summands when C > 1) stays well under the ~16 MB budget.
-    # C > 1 keeps THREE live W-sized buffers (W, w1, w2): measured at 2M /
-    # bm=1024, bn=256 runs 2.4x faster than bn=1024 (158 vs 375 ms — the
-    # fat buffers defeat double-buffering):
-    target = (1024 * 2048) if C == 1 else (256 * 1024)
+    # the VMEM-resident (bn, block_m) weight block stays well under the
+    # ~16 MB budget. The wide-C MXU path keeps THREE live W-sized buffers
+    # (W, w1, w2): measured at 2M / bm=1024, bn=256 runs 2.4x faster than
+    # bn=1024 (158 vs 375 ms — the fat buffers defeat double-buffering);
+    # the VPU-channel path has no split buffers and keeps a near-C=1
+    # budget:
+    if C == 1:
+        target = 1024 * 2048
+    elif not mxu:
+        target = 1024 * 1024
+    else:
+        target = 256 * 1024
     bn = min(block_n, max(128, target // block_m))
     s = block_n // bn
 
@@ -1234,6 +1240,15 @@ def gibbs_apply_sparse(
 
     def launch(cols_c, counts_c, xhT_c, phi_c, sqx_c):
         nI_c = cols_c.shape[0]
+        if not mxu:
+            out_specs = pl.BlockSpec((bn, C), lambda i, j, c, n, e: (i, 0))
+            out_shape = jax.ShapeDtypeStruct((nI_c * block_n, C), f32)
+            scratch = pltpu.VMEM((bn, C), f32)
+        else:
+            # Transposed accumulation (see _vt_dot_w): (C, bn) blocks.
+            out_specs = pl.BlockSpec((C, bn), lambda i, j, c, n, e: (0, i))
+            out_shape = jax.ShapeDtypeStruct((C, nI_c * block_n), f32)
+            scratch = pltpu.VMEM((C, bn), f32)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nI_c * s, cap),
@@ -1246,15 +1261,16 @@ def gibbs_apply_sparse(
                 pl.BlockSpec((1, block_m), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
                 pl.BlockSpec((VT.shape[0], block_m), lambda i, j, c, n, e: (0, _col(c, n, i // s, j))),
             ],
-            out_specs=pl.BlockSpec((bn, C), lambda i, j, c, n, e: (i, 0)),
-            scratch_shapes=[pltpu.VMEM((bn, C), f32)],
+            out_specs=out_specs,
+            scratch_shapes=[scratch],
         )
-        return pl.pallas_call(
-            functools.partial(_apply_sparse_kernel, p=p, kind=kind, s=s),
+        out = pl.pallas_call(
+            functools.partial(_apply_sparse_kernel, p=p, kind=kind, mxu=mxu, s=s),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nI_c * block_n, C), f32),
+            out_shape=out_shape,
             interpret=_interpret(),
         )(cols_c, counts_c, eps_arr, xhT_c, yhT, phi_c, psi_row, sqx_c, sqy, VT)
+        return out if not mxu else out.T
 
     out = _launch_chunked(
         launch, nI, cols, counts, [(xhT, 1), (phi_col, 0), (sqx, 0)]

@@ -121,6 +121,65 @@ def _scores_dot(xhT, yhT):
     )
 
 
+def _vpu_channels(w, VT):
+    """Exact-f32 multi-channel weighted row reduction on the VPU:
+    ``(BN, BM) x (C, BM) -> (BN, C)``.
+
+    For the gradient applies C = 1 + D <= 4: each channel is one
+    broadcast multiply + row reduction over the VMEM-resident weight
+    block — fully f32-exact, no bf16 operand splits, and (crucially) no
+    extra live (BN, BM) buffers, so the row sub-block stays at the
+    C = 1 size instead of shrinking 4x to fit the split-matmul
+    buffers (which quadrupled the traversal's step count: the C=4
+    sparse apply measured 545 ms vs 194 ms for C=1 at 2M even after
+    fixing the MXU layout — the s=4 re-traversal was the residual).
+    Measured marginal per extra channel on the C=1 apply: ~15 ms at 2M
+    (vs ~180 ms per MXU-split traversal).
+    """
+    return jnp.concatenate(
+        [
+            jnp.sum(w * VT[c : c + 1, :], axis=1, keepdims=True)
+            for c in range(VT.shape[0])
+        ],
+        axis=1,
+    )
+
+
+def _vt_dot_w(VT, w):
+    """bf16-exact multi-channel contraction, output **transposed**:
+    ``(2C, BM) x (BN, BM) -> (C, BN)``.
+
+    The ``(BN, BM) @ (BM, C)`` orientation puts the C = 1 + D = 4 output
+    channels of the gradient applies on the MXU *lane* axis, which pads
+    4 -> 128: each of the three bf16-split matmuls then costs as much as
+    a 128-wide one (~16x the useful MACs) — measured 3.6x fwd cost on
+    the truncated last-extrapolation backward (PROFILE_PHASES 2M:
+    2591 ms fwd+bwd vs 564 ms fwd). Contracting as ``V @ w^T`` puts C on
+    the *sublane* axis (padded only 4 -> 8) and the BN rows on lanes —
+    same exactness, ~16x fewer MACs. Callers accumulate ``(C, BN)``
+    output blocks and transpose once outside the kernel.
+
+    Exactness: ``w = w1 + w2`` and ``V = V1 + V2`` with every summand
+    bf16-representable, so the three retained products reach ~2^-14
+    relative accuracy despite the MXU's bf16 multipliers (the dropped
+    ``V2 @ w2`` term is O(2^-16) relative).
+    """
+    C = VT.shape[0] // 2
+    V1 = VT[:C, :]
+    V2 = VT[C:, :]
+    w1 = _bf16_trunc(w)
+    w2 = w - w1
+    dn = (((1,), (1,)), ((), ()))
+    return (
+        lax.dot_general(V1, w1, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+        + lax.dot_general(V2, w1, dimension_numbers=dn,
+                          preferred_element_type=jnp.float32)
+        + lax.dot_general(V1, w2, dimension_numbers=dn,
+                          preferred_element_type=jnp.float32)
+    )
+
+
 # ==============================================================================
 #  Streaming LSE (softmin forward)
 # ==============================================================================
@@ -617,9 +676,17 @@ def _gibbs_weights(scores, phi, psi, sqx, sqy, eps, *, p, kind):
     return w
 
 
+#: Channel count above which the multi-channel applies switch from the
+#: exact-f32 per-channel VPU reduction to the bf16-split transposed MXU
+#: contraction (the VPU loop's cost is linear in C; the MXU path is
+#: ~flat in C up to the 128-lane width but forces 3 extra live
+#: weight-sized VMEM buffers). The gradient applies are C = 1 + D <= 4.
+MXU_MIN_CHANNELS = 9
+
+
 def _apply_kernel(
     eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref, sqx_ref, sqy_ref, VT_ref,
-    o_ref, acc_ref, *, p, kind
+    o_ref, acc_ref, *, p, kind, mxu
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -634,34 +701,17 @@ def _apply_kernel(
         eps_ref[0, 0], p=p, kind=kind,
     )
 
-    if VT_ref.shape[0] == 1:
-        # Single-channel matvec: a broadcast multiply + row reduction on
-        # the VPU, in full f32 (exact — no bf16 split needed). Also works
-        # around Mosaic's refusal to lower a 1-column dot_general into a
-        # (non-constant) accumulator.
-        acc_ref[:] += jnp.sum(w * VT_ref[:], axis=1, keepdims=True)
+    if not mxu:
+        # Per-channel broadcast multiply + row reduction on the VPU, in
+        # full f32 (exact — no bf16 splits, no extra live weight-sized
+        # buffers; see _vpu_channels). Also works around Mosaic's refusal
+        # to lower a 1-column dot_general into a (non-constant)
+        # accumulator.
+        acc_ref[:] += _vpu_channels(w, VT_ref[:])
     else:
-        # (BN, BM) @ (BM, C) on the MXU, contracting the streamed axis. Both
-        # operands are split into bf16-exact summands (the caller stacks
-        # V = V1 + V2 along the channel axis) so the contraction reaches
-        # ~2^-14 relative accuracy despite the MXU's bf16 multipliers:
-        C = VT_ref.shape[0] // 2
-        V1 = VT_ref[:C, :]
-        V2 = VT_ref[C:, :]
-        w1 = _bf16_trunc(w)
-        w2 = w - w1
-        dn = (((1,), (1,)), ((), ()))
-        acc_ref[:] += (
-            lax.dot_general(
-                w1, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
-            )
-            + lax.dot_general(
-                w1, V2, dimension_numbers=dn, preferred_element_type=jnp.float32
-            )
-            + lax.dot_general(
-                w2, V1, dimension_numbers=dn, preferred_element_type=jnp.float32
-            )
-        )
+        # Wide-C path: bf16-exact summand split, transposed (C, BN)
+        # accumulation (see _vt_dot_w for the MXU layout rationale):
+        acc_ref[:] += _vt_dot_w(VT_ref[:], w)
 
     @pl.when(j == nj - 1)
     def _finalize():
@@ -717,9 +767,10 @@ def gibbs_apply_pallas(
     sqx = _pad_axis(((x32**2).sum(-1))[:, None], 0, Np)  # (Np, 1)
     sqy = _pad_axis(((y32**2).sum(-1))[None, :], 1, Mp)  # (1, Mp)
     VT = _pad_axis(V.astype(f32).T, 1, Mp)  # (C, Mp) — padded V columns are 0
-    if C > 1:
+    mxu = C >= MXU_MIN_CHANNELS
+    if mxu:
         # Split V into bf16-exact summands, stacked along the channel axis
-        # (C == 1 uses an exact f32 VPU row reduction instead):
+        # (C < MXU_MIN_CHANNELS uses exact f32 VPU row reductions instead):
         VT1 = _bf16_trunc(VT)
         VT = jnp.concatenate([VT1, VT - VT1], axis=0)  # (2 C, Mp)
 
@@ -727,8 +778,21 @@ def gibbs_apply_pallas(
 
     K = xhT.shape[0]
     grid = (Np // bn, Mp // bm)
+    if not mxu:
+        out_specs = pl.BlockSpec(
+            (bn, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((Np, C), f32)
+        scratch = pltpu.VMEM((bn, C), f32)
+    else:
+        # Transposed accumulation (see _vt_dot_w): (C, bn) blocks.
+        out_specs = pl.BlockSpec(
+            (C, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((C, Np), f32)
+        scratch = pltpu.VMEM((C, bn), f32)
     out = pl.pallas_call(
-        functools.partial(_apply_kernel, p=p, kind=kind),
+        functools.partial(_apply_kernel, p=p, kind=kind, mxu=mxu),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -740,11 +804,11 @@ def gibbs_apply_pallas(
             pl.BlockSpec((1, bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((VT.shape[0], bm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bn, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Np, C), f32),
-        scratch_shapes=[pltpu.VMEM((bn, C), f32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[scratch],
         interpret=_interpret(),
     )(eps_arr, xhT, yhT, phi_col, psi_row, sqx, sqy, VT)
 
-    return out[:N]
+    return out[:N] if not mxu else out.T[:N]
 
