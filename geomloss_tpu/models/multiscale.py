@@ -159,7 +159,13 @@ def spatial_sort_blocks(
     else:
         x_full, x_full_d, a_full = x, x_d, a
 
-    bits = max(4, min(10, math.ceil(math.log2(max(Npad, 2) / 4) / D)))
+    # Key resolution targets ~16 points per Hilbert cell: cells stay far
+    # smaller than a cluster block (>= 256 points), so deeper bits only
+    # refine the irrelevant order *inside* cells — and every 3 bits is
+    # one more radix pass over the cloud (sort measured 205 ms/cloud of
+    # a 4.0 s solve at 2M; 16 vs 4 points/cell drops 21 -> 18 key bits
+    # at 2M/4M, one pass of three).
+    bits = max(4, min(10, math.ceil(math.log2(max(Npad, 2) / 16) / D)))
     if labels is not None:
         # Stable two-pass composition: Hilbert order within each label.
         lab = jnp.concatenate(
@@ -177,10 +183,7 @@ def spatial_sort_blocks(
         # XLA's TPU sort lowers to a bitonic network whose compile time
         # explodes with size (558 s at N=10k measured): beyond a few
         # thousand points, order by Hilbert-curve keys with a linear-time
-        # radix sort (slightly looser tiles, O(1) compile size). Key
-        # resolution targets ~4 points per Hilbert cell — deeper bits only
-        # refine the (irrelevant) order inside cells much smaller than a
-        # block, and every 3 bits is one more radix pass:
+        # radix sort (slightly looser tiles, O(1) compile size):
         order = radix_sort_perm(
             hilbert_key(x_full_d, bits=bits), total_bits=D * bits
         )

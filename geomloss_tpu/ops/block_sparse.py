@@ -1418,12 +1418,20 @@ def _extrap_dx_sparse(x, y, f, g, loga, logb, eps, S, u, cols, counts, p, block)
     logr = (f - S) / eps + loga
     phi = f / eps + loga - logr  # row-normalized absorbed weights
     psi = g / eps + logb
-    kind = "gibbs" if p == 2 else "gibbs_grad"
+    if p == 2:
+        # Row-normalized weights sum to exactly 1, so the ones channel is
+        # analytic: dx = u * (x - sum_j w~_ij y_j). One fewer VPU channel
+        # pass per apply. (p=1 divides by the distance — not normalized.)
+        R = gibbs_apply_sparse(
+            x, y, phi, psi, y.astype(jnp.float32), eps, cols, counts,
+            p=p, kind="gibbs", block_n=block, block_m=block,
+        )
+        return u[:, None] * (x - R)
     ones = jnp.ones((y.shape[0], 1), dtype=jnp.float32)
     V = jnp.concatenate([ones, y.astype(jnp.float32)], axis=-1)
     R = gibbs_apply_sparse(
         x, y, phi, psi, V, eps, cols, counts,
-        p=p, kind=kind, block_n=block, block_m=block,
+        p=p, kind="gibbs_grad", block_n=block, block_m=block,
     )
     return u[:, None] * (x * R[:, :1] - R[:, 1:])
 
@@ -1519,11 +1527,17 @@ def _extrap_dx_walk(x, y, f, g, loga, logb, eps, S, u, tbl, p, block):
     logr = (f - S) / eps + loga
     phi = f / eps + loga - logr
     psi = g / eps + logb
-    kind = "gibbs" if p == 2 else "gibbs_grad"
+    if p == 2:
+        # Normalized weights: analytic ones channel (see _extrap_dx_sparse).
+        R = gibbs_apply_walk(
+            x, y, phi, psi, y.astype(jnp.float32), eps, tbl, p=p,
+            kind="gibbs", block_n=block, block_m=block,
+        )
+        return u[:, None] * (x - R)
     ones = jnp.ones((y.shape[0], 1), dtype=jnp.float32)
     V = jnp.concatenate([ones, y.astype(jnp.float32)], axis=-1)
     R = gibbs_apply_walk(
-        x, y, phi, psi, V, eps, tbl, p=p, kind=kind,
+        x, y, phi, psi, V, eps, tbl, p=p, kind="gibbs_grad",
         block_n=block, block_m=block,
     )
     return u[:, None] * (x * R[:, :1] - R[:, 1:])

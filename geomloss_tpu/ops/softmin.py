@@ -233,10 +233,15 @@ def _extrap_dx(x, y, f, g, loga, logb, eps, S, u, p, impl):
     logr = (f - S) / eps + loga
     phi = f / eps + loga - logr
     psi = g / eps + logb
-    kind = "gibbs" if p == 2 else "gibbs_grad"
+    if p == 2:
+        # Normalized weights sum to exactly 1: the ones channel is
+        # analytic, dx = u * (x - sum_j w~_ij y_j) — one fewer channel
+        # pass per apply (p=1 divides by the distance, not normalized).
+        R = gibbs_apply(x, y, phi, psi, y, eps, p, kind="gibbs", impl=impl)
+        return u[:, None] * (x - R)
     ones = jnp.ones((y.shape[0], 1), dtype=y.dtype)
     V = jnp.concatenate([ones, y], axis=-1)
-    R = gibbs_apply(x, y, phi, psi, V, eps, p, kind=kind, impl=impl)
+    R = gibbs_apply(x, y, phi, psi, V, eps, p, kind="gibbs_grad", impl=impl)
     return u[:, None] * (x * R[:, :1] - R[:, 1:])
 
 

@@ -38,8 +38,13 @@ ROWS = []
 
 
 def emit(**kw):
+    # Flush incrementally: the tunneled runtime's warm-up variance can
+    # push a full profile past an outer timeout — partial rows must
+    # survive.
     ROWS.append(kw)
-    print("  " + json.dumps(kw))
+    print("  " + json.dumps(kw), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(kw) + "\n")
 
 
 def _sync(out):
@@ -218,9 +223,6 @@ def _dense_step_marginal(N):
 
 
 def _flush():
-    with open(OUT, "a") as f:
-        for r in ROWS:
-            f.write(json.dumps(r) + "\n")
     print(f"appended {len(ROWS)} rows to {OUT}")
 
 
