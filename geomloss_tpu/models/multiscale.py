@@ -36,15 +36,18 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.block_sparse import (
+    APPLY_BAND_TILES,
     build_tile_masks,
     lse_sparse_custom,
     masks_from_coarse,
     retighten_counts,
     sinkhorn_step_walk,
+    sinkhorn_step_walk_banded,
     softmin_extrap_truncated,
-    softmin_extrapolation_walk,
+    softmin_extrapolation_walk_banded,
     softmin_extrapolation_walk_sym,
     walk_plan,
+    walk_plan_banded,
 )
 from ..ops.softmin import (
     sinkhorn_step_points,
@@ -897,6 +900,8 @@ def sinkhorn_multiscale(
             def t_mean_of(ck):
                 return max(16, 5 * ck // 8)
 
+            nJ_f = y_sd.shape[0] // tile
+
             def plans(mask, ck, d, sym=False):
                 cnt = jnp.minimum(retighten_counts(mask.vals, d), ck)
                 tb = walk_plan(mask.cols[:, :ck], cnt, t_mean_of(ck))
@@ -906,14 +911,22 @@ def sinkhorn_multiscale(
                 tbT = walk_plan(mask.colsT[:, :ck], cntT, t_mean_of(ck))
                 return tb, tbT
 
+            def plans_banded(mask, ck, d, band_tiles=None):
+                # One band-major table serves BOTH reduction directions
+                # of the asymmetric step (round 4): half the traversals
+                # of the (tbl, tblT) pair above.
+                cnt = jnp.minimum(retighten_counts(mask.vals, d), ck)
+                kw = {} if band_tiles is None else {"band_tiles": band_tiles}
+                return walk_plan_banded(
+                    mask.cols[:, :ck], cnt, t_mean_of(ck), nJ_f, **kw
+                )
+
             def run_fine_groups(carry):
                 for ck, es in groups:
                     ds = [truncate * (e - eps_m) for e in es]
-                    pl_xy = [plans(mask_xy, ck, d) for d in ds]
                     xs = {
-                        "xy": (
-                            jnp.stack([t for t, _ in pl_xy]),
-                            jnp.stack([tT for _, tT in pl_xy]),
+                        "xy": jnp.stack(
+                            [plans_banded(mask_xy, ck, d) for d in ds]
                         )
                     }
                     if debias:
@@ -924,9 +937,9 @@ def sinkhorn_multiscale(
                             [plans(mask_yy, ck, d, sym=True)[0] for d in ds]
                         )
                     fns = (
-                        lambda e, f, g, t: sinkhorn_step_walk(
+                        lambda e, f, g, t: sinkhorn_step_walk_banded(
                             e, x_sd, y_sd, a_log_f, b_log_f, f, g,
-                            t["xy"][0], t["xy"][1], p=p, block=tile,
+                            t["xy"], p=p, block=tile,
                         ),
                         (
                             lambda e, f, t: sinkhorn_step_walk(
@@ -950,16 +963,24 @@ def sinkhorn_multiscale(
 
             ck_l = groups[-1][0]
             d_last = truncate * (eps_fine[-1] - eps_m)
-            tbl_xy_l, tblT_xy_l = plans(mask_xy, ck_l, d_last)
+            # The differentiable extrapolation runs banded single passes
+            # in BOTH directions of both the forward and the backward:
+            # one step-banded table for the forward softmins, one
+            # apply-banded table (smaller bands — its accumulators carry
+            # 1+D channels) for the dual gradient contraction.
+            tblB_xy_l = plans_banded(mask_xy, ck_l, d_last)
+            tblA_xy_l = plans_banded(
+                mask_xy, ck_l, d_last, band_tiles=APPLY_BAND_TILES
+            )
             if debias:
                 tbl_xx_l = plans(mask_xx, ck_l, d_last, sym=True)[0]
                 tbl_yy_l = plans(mask_yy, ck_l, d_last, sym=True)[0]
 
             def fused_extrap(eps_last, f_ba_f, g_ab_f, f_aa_f, g_bb_f):
-                S_xy, S_yx = softmin_extrapolation_walk(
+                S_xy, S_yx = softmin_extrapolation_walk_banded(
                     x_s, y_s, sg(f_ba_f), sg(g_ab_f),
                     sg(a_log_f), sg(b_log_f), eps_last,
-                    tbl_xy_l, tblT_xy_l, p, tile,
+                    tblB_xy_l, tblA_xy_l, p, tile,
                 )
                 if debias:
                     S_xx = softmin_extrapolation_walk_sym(

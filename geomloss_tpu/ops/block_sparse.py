@@ -410,6 +410,530 @@ def sinkhorn_step_walk(eps, x, y, a_log, b_log, f, g, tbl, tblT, p=2,
     return S_xy, S_yx
 
 
+# ==============================================================================
+#  Banded dual-direction walk
+# ==============================================================================
+#
+# The asymmetric (xy) fine problems need BOTH reduction directions of the
+# same kept pair set; the plain walk traverses the pairs twice (``tbl``
+# row-major for the row sums, ``tblT`` for the column sums) because a
+# Pallas output block only accumulates across *consecutive* grid steps —
+# scattered column-tile revisits would corrupt it. The banded walk fixes
+# the traversal order instead of the kernel: steps are ordered
+# **band-major** (bands = aligned groups of ``BAND_TILES`` column tiles),
+# so each band's (1, BAND_TILES * block) column accumulator is one output
+# block visited consecutively, while the row sums accumulate into a
+# single whole-chunk output block (constant index) through dynamic-slice
+# read-modify-writes — the TPU grid is sequential, so in-kernel RMW on an
+# output ref is race-free. One pass over the pairs then yields both
+# softmin directions, like the dense absorbed step
+# (``pallas_kernels.py::sinkhorn_step_pallas``), at half the traversal
+# cost of the two-table walk. Each band opens with a *marker* step (dead,
+# ``fl == 1``) that zeroes the band accumulator, so empty bands still
+# produce defined output.
+#
+# Table word layout (int32): ``fl(2) << 26 | row(13) << 13 | jt(13)``
+# with fl 0 = live, 1 = band marker, 2 = trailing dead (repeats the last
+# real step so the pipeline issues no DMA).
+
+#: Column tiles per accumulation band: (1, 256 * 1024) f32 = 1 MB VMEM
+#: per band buffer at the production fine tile.
+BAND_TILES = 256
+
+#: Row tiles per banded launch: the whole-chunk row accumulator is a
+#: (rows * block, 1) f32 output block resident for the entire launch
+#: (2 MB at block = 1024), alongside the band buffer and the streamed
+#: (block, block) score blocks.
+MAX_BANDED_ROWS = 512
+
+
+def walk_plan_banded(cols, counts, t_mean, n_col_tiles,
+                     band_tiles=BAND_TILES):
+    """Pack a ``(cols, counts)`` table into band-major step lists.
+
+    Args:
+        cols: ``(nI, cap)`` int32 kept-tile table (row-sorted by score).
+        counts: ``(nI,)`` kept counts (>= 0).
+        t_mean: static per-row step budget; a chunk whose total kept
+            count exceeds ``rows_c * t_mean`` clips every row
+            proportionally (keeping each row's best-scoring tiles).
+        n_col_tiles: static column-tile count of the traversed operand.
+
+    Returns:
+        ``(nc, T_c)`` int32 packed step table, steps ordered by
+        ``(band, row, column)`` with one leading marker per band.
+    """
+    nI, cap = cols.shape
+    assert n_col_tiles <= 8192 and nI <= 8192, "13-bit table fields"
+    # Multiple of 8: the kernel's row accumulator addresses 8-aligned
+    # sublane groups.
+    rows_c = min(_cdiv(nI, 8) * 8, max(8, MAX_BANDED_ROWS))
+    nc = _cdiv(nI, rows_c)
+    nIp = nc * rows_c
+    nb = _cdiv(n_col_tiles, band_tiles)
+    if nIp != nI:
+        cols = jnp.pad(cols, ((0, nIp - nI), (0, 0)))
+        counts = jnp.pad(counts, (0, nIp - nI))
+    budget = rows_c * t_mean
+    T_c = budget + nb
+
+    cnt = counts.reshape(nc, rows_c).astype(jnp.int32)
+    colc = cols.reshape(nc, rows_c, cap).astype(jnp.int32)
+    tot = cnt.sum(axis=1)
+    # Proportional per-row clip on overflow; every live row keeps at
+    # least its best-scoring tile (losing all neighbors would floor the
+    # row's softmin to _SUM_FLOOR):
+    n_live = (cnt > 0).sum(axis=1)
+    scale = (budget - n_live) / jnp.maximum(tot - n_live, 1).astype(
+        jnp.float32
+    )
+    clipped = jnp.where(
+        cnt > 0,
+        1 + ((cnt - 1) * jnp.minimum(scale, 1.0)[:, None]).astype(
+            jnp.int32
+        ),
+        0,
+    )
+    cnt = jnp.where(tot[:, None] > budget, clipped, cnt)
+
+    # Keep each row's best-score prefix, then order it by column index so
+    # same-band entries are contiguous (SENT sorts invalid slots last):
+    SENT = jnp.int32(1 << 24)
+    k_idx = jnp.arange(cap, dtype=jnp.int32)
+    colv = jnp.where(k_idx[None, None, :] < cnt[..., None], colc, SENT)
+    colv = jnp.sort(colv, axis=-1)
+    band = jnp.minimum(colv // band_tiles, nb)  # nb == invalid sentinel
+
+    b_idx = jnp.arange(nb, dtype=jnp.int32)
+    hb = (band[..., None] == b_idx).sum(axis=2).astype(jnp.int32)
+    row_pre = jnp.cumsum(hb, axis=2) - hb  # earlier bands, same row
+    hbT = jnp.moveaxis(hb, 1, 2)  # (nc, nb, rows_c)
+    row_cum = jnp.cumsum(hbT, axis=2)  # inclusive over rows, per band
+    tb = row_cum[:, :, -1]  # (nc, nb) per-band totals
+    band_start = jnp.cumsum(tb + 1, axis=1) - (tb + 1)  # marker included
+    used = band_start[:, -1] + tb[:, -1] + 1
+
+    t_idx = jnp.arange(T_c, dtype=jnp.int32)
+
+    def per_chunk(band_start_c, tb_c, row_cum_c, hbT_c, row_pre_c, colv_c,
+                  used_c):
+        b = (
+            jnp.searchsorted(band_start_c, t_idx, side="right").astype(
+                jnp.int32
+            )
+            - 1
+        )
+        b = jnp.clip(b, 0, nb - 1)
+        bs = band_start_c[b]
+        marker = t_idx == bs
+        q = t_idx - bs - 1  # entry rank within the band
+        r_all = jax.vmap(
+            lambda a: jnp.searchsorted(a, q, side="right")
+        )(row_cum_c).astype(jnp.int32)  # (nb, T_c)
+        r = jnp.take_along_axis(r_all, b[None, :], axis=0)[0]
+        r = jnp.clip(r, 0, rows_c - 1)
+        row_excl = row_cum_c[b, r] - hbT_c[b, r]
+        k = jnp.clip(q - row_excl + row_pre_c[r, b], 0, cap - 1)
+        jt = colv_c[r, jnp.clip(k, 0, cap - 1)]
+        jt = jnp.where(marker, b * band_tiles, jt)
+        r = jnp.where(marker, 0, r)
+        # fl 3 marks a band's LAST live step: the kernel flushes its
+        # band accumulator (VMEM scratch) into the output block there.
+        nxt_marker = jnp.roll(marker, -1).at[-1].set(True)
+        last_live = (~marker) & (nxt_marker | (t_idx == used_c - 1))
+        fl = jnp.where(marker, 1, jnp.where(last_live, 3, 0)).astype(
+            jnp.int32
+        )
+        word = (fl << 26) | (r << 13) | jt
+        # Trailing dead slots repeat the last real step (fl = 2):
+        last = word[jnp.maximum(used_c - 1, 0)]
+        dead_word = (jnp.int32(2) << 26) | (last & ((1 << 26) - 1))
+        return jnp.where(t_idx < used_c, word, dead_word)
+
+    return jax.vmap(per_chunk)(
+        band_start, tb, row_cum, hbT, row_pre, colv, used
+    )
+
+
+def _pair_walk_banded_kernel(
+    tbl_ref, eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref, *rest, p, block,
+    band_tiles,
+):
+    if p == 2:
+        orow_ref, ocol_ref, cacc_ref = rest
+    else:
+        sqx_ref, sqy_ref, orow_ref, ocol_ref, cacc_ref = rest
+    t = pl.program_id(0)
+    w = tbl_ref[t]
+    fl = w >> 26
+    it = (w >> 13) & 0x1FFF
+    jt = w & 0x1FFF
+
+    @pl.when(t == 0)
+    def _init_rows():
+        orow_ref[:] = jnp.zeros_like(orow_ref)
+
+    @pl.when(fl == 1)
+    def _init_band():
+        # Zero the band accumulator (VMEM scratch) AND the output block:
+        # an empty band's block is otherwise written back undefined.
+        cacc_ref[:] = jnp.zeros_like(cacc_ref)
+        ocol_ref[:] = jnp.zeros_like(ocol_ref)
+
+    @pl.when((fl == 0) | (fl == 3))
+    def _live():
+        c2 = LOG2E / eps_ref[0]
+        scores = _scores_dot(xhT_ref[:], yhT_ref[:])
+        if p == 2:
+            W = jnp.exp2(phi_ref[:] + (psi_ref[:] + scores * c2))
+        else:
+            sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
+            d = jnp.where(sq > 2e-6 * (sqx_ref[:] + sqy_ref[:]),
+                          jnp.sqrt(jnp.maximum(sq, 1e-8)), 0.0)
+            W = jnp.exp2(phi_ref[:] + (psi_ref[:] - d * c2))
+        rs = jnp.sum(W, axis=1, keepdims=True)  # (block, 1)
+        cs = jnp.sum(W, axis=0, keepdims=True)  # (1, block)
+        # Row accumulator row `it` of the (rows_c, block) output block
+        # (constant index, single buffer — in-place accumulation is
+        # safe there): dynamic sublane slices must be 8-aligned, so
+        # address the enclosing 8-row group and select the target
+        # sublane with an iota mask:
+        base = (it // 8) * 8
+        sel = (
+            lax.broadcasted_iota(jnp.int32, (8, block), 0) == it - base
+        )
+        rs8 = jnp.where(sel, rs.reshape(1, block), 0.0)
+        roff = pl.ds(base, 8)
+        orow_ref[roff, :] = orow_ref[roff, :] + rs8
+        # Column sums accumulate in the scratch (the banded OUTPUT block
+        # switches buffers at band boundaries, so reads from it are not
+        # reliable); fl == 3 flushes the finished band below.
+        joff = pl.ds((jt % band_tiles) * block, block)
+        cacc_ref[:, joff] = cacc_ref[:, joff] + cs
+
+    @pl.when(fl == 3)
+    def _flush_band():
+        ocol_ref[:] = cacc_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p", "block", "band_tiles")
+)
+def _absorbed_sum_walk_banded(x, y, phi, psi, eps, tbl, p, block,
+                              band_tiles=BAND_TILES):
+    """One banded pass over the kept pairs: absorbed row AND column sums.
+
+    Same math and operand folding as :func:`_absorbed_sum_walk`, but the
+    band-major traversal of a :func:`walk_plan_banded` table accumulates
+    both reduction directions in a single visit of each pair block.
+    """
+    N, D = x.shape
+    M, _ = y.shape
+    assert N % block == 0 and M % block == 0
+    # The whole-chunk row accumulator forces one row tile per grid step
+    # (no sub-blocking): production fine tiles are <= 1536.
+    assert block <= 2048
+
+    f32 = jnp.float32
+    x32, y32 = x.astype(f32), y.astype(f32)
+    eps32 = jnp.asarray(eps, f32)
+    if p == 2:
+        phi_eff = (phi.astype(f32) - 0.5 * (x32**2).sum(-1) / eps32) * LOG2E
+        psi_eff = (psi.astype(f32) - 0.5 * (y32**2).sum(-1) / eps32) * LOG2E
+    else:
+        phi_eff = phi.astype(f32) * LOG2E
+        psi_eff = psi.astype(f32) * LOG2E
+
+    xhT, yhT = _split6_pair(x32.T, y32.T)
+    sqx = ((x32**2).sum(-1))[:, None]
+    sqy = ((y32**2).sum(-1))[None, :]
+    eps_arr = eps32.reshape(1)
+    psi_row = psi_eff[None, :]
+    K = xhT.shape[0]
+    nI, nJ = N // block, M // block
+    nc, T_c = tbl.shape
+    rows_c = min(_cdiv(nI, 8) * 8, max(8, MAX_BANDED_ROWS))
+    nb = _cdiv(nJ, band_tiles)
+    Mb = nb * band_tiles * block  # column output padded to whole bands
+
+    def _it(tbl, t):
+        return (tbl[t] >> 13) & 0x1FFF
+
+    def _jt(tbl, t):
+        return tbl[t] & 0x1FFF
+
+    def _bd(tbl, t):
+        return (tbl[t] & 0x1FFF) // band_tiles
+
+    def launch(tbl_c, xhT_c, phi_c, sqx_c):
+        in_specs = [
+            pl.BlockSpec((K, block), lambda t, tb, e: (0, _it(tb, t))),
+            pl.BlockSpec((K, block), lambda t, tb, e: (0, _jt(tb, t))),
+            pl.BlockSpec((block, 1), lambda t, tb, e: (_it(tb, t), 0)),
+            pl.BlockSpec((1, block), lambda t, tb, e: (0, _jt(tb, t))),
+        ]
+        ops = [xhT_c, yhT, phi_c[:, None], psi_row]
+        if p != 2:
+            in_specs += [
+                pl.BlockSpec((block, 1), lambda t, tb, e: (_it(tb, t), 0)),
+                pl.BlockSpec((1, block), lambda t, tb, e: (0, _jt(tb, t))),
+            ]
+            ops += [sqx_c, sqy]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # tbl, eps
+            grid=(T_c,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec(
+                    (rows_c, block), lambda t, tb, e: (0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, band_tiles * block), lambda t, tb, e: (0, _bd(tb, t))
+                ),
+            ],
+            scratch_shapes=[pltpu.VMEM((1, band_tiles * block), f32)],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _pair_walk_banded_kernel, p=p, block=block,
+                band_tiles=band_tiles,
+            ),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((rows_c, block), f32),
+                jax.ShapeDtypeStruct((1, Mb), f32),
+            ],
+            interpret=_interpret(),
+        )(tbl_c, eps_arr, *ops)
+
+    row_ops = [(xhT, 1, 0.0), (phi_eff, 0, NEG_INF), (sqx, 0, 0.0)]
+    if nc == 1:
+        orow, ocol = launch(tbl[0], *[a for a, _, _ in row_ops])
+        ocol = ocol[0]
+    else:
+        xs = (tbl,) + tuple(
+            _walk_split_rows(a, ax, nI, nc, rows_c, fill)
+            for a, ax, fill in row_ops
+        )
+
+        def body(_, inp):
+            return None, launch(inp[0], *inp[1:])
+
+        _, (orows, ocols) = lax.scan(body, None, xs)
+        orow = orows.reshape(-1, block)
+        ocol = ocols[:, 0, :].sum(axis=0)
+    r = jnp.maximum(orow.reshape(-1)[:N], _SUM_FLOOR)
+    c = jnp.maximum(ocol[:M], _SUM_FLOOR)
+    return r, c
+
+
+#: Column tiles per band of the dual gradient apply: its (C, band) and
+#: (C * rows, block) accumulators are larger than the step kernel's, so
+#: bands and row chunks shrink to fit VMEM.
+APPLY_BAND_TILES = 64
+MAX_APPLY_ROWS = 256
+
+
+def _apply_walk_banded_kernel(
+    tbl_ref, eps_ref, xhT_ref, yhT_ref, phi_ref, psi_ref, vyT_ref, vx_ref,
+    *rest, p, kind, block, band_tiles, C, rows_c,
+):
+    if p == 2:
+        orow_ref, ocol_ref, cacc_ref = rest
+    else:
+        sqx_ref, sqy_ref, orow_ref, ocol_ref, cacc_ref = rest
+    t = pl.program_id(0)
+    w_t = tbl_ref[t]
+    fl = w_t >> 26
+    it = (w_t >> 13) & 0x1FFF
+    jt = w_t & 0x1FFF
+
+    @pl.when(t == 0)
+    def _init_rows():
+        orow_ref[:] = jnp.zeros_like(orow_ref)
+
+    @pl.when(fl == 1)
+    def _init_band():
+        cacc_ref[:] = jnp.zeros_like(cacc_ref)
+        ocol_ref[:] = jnp.zeros_like(ocol_ref)
+
+    @pl.when((fl == 0) | (fl == 3))
+    def _live():
+        c2 = LOG2E / eps_ref[0]
+        scores = _scores_dot(xhT_ref[:], yhT_ref[:])
+        if p == 2:
+            w = jnp.exp2(phi_ref[:] + (psi_ref[:] + scores * c2))
+        else:
+            sq = sqx_ref[:] + sqy_ref[:] - 2.0 * scores
+            d = jnp.sqrt(jnp.maximum(sq, 1e-8))
+            dw = jnp.where(sq > 2e-6 * (sqx_ref[:] + sqy_ref[:]), d, 0.0)
+            w = jnp.exp2(phi_ref[:] + (psi_ref[:] - dw * c2))
+            if kind == "gibbs_grad":
+                w = jnp.where(sq > 1e-6, w / d, 0.0)
+        # Row direction (exact f32 per-channel VPU reductions): channel c
+        # lands in sublane group [c * rows_c + it] of the constant-index
+        # output block.
+        base = (it // 8) * 8
+        sel = (
+            lax.broadcasted_iota(jnp.int32, (8, block), 0) == it - base
+        )
+        for c in range(C):
+            rc = jnp.sum(w * vyT_ref[c : c + 1, :], axis=1, keepdims=True)
+            rs8 = jnp.where(sel, rc.reshape(1, block), 0.0)
+            roff = pl.ds(c * rows_c + base, 8)
+            orow_ref[roff, :] = orow_ref[roff, :] + rs8
+        # Column direction: (C, block) stack into the band SCRATCH
+        # (see _pair_walk_banded_kernel), band-local lane offset.
+        cstack = jnp.concatenate(
+            [
+                jnp.sum(w * vx_ref[:, c : c + 1], axis=0, keepdims=True)
+                for c in range(C)
+            ],
+            axis=0,
+        )
+        joff = pl.ds((jt % band_tiles) * block, block)
+        cacc_ref[:, joff] = cacc_ref[:, joff] + cstack
+
+    @pl.when(fl == 3)
+    def _flush_band():
+        ocol_ref[:] = cacc_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p", "kind", "block", "band_tiles")
+)
+def gibbs_apply_walk_banded(
+    x, y, phi, psi, Vy, Vx, eps, tbl, p=2, kind="gibbs", block=512,
+    band_tiles=APPLY_BAND_TILES,
+):
+    """Dual-direction banded gradient apply: ONE pass over the kept pairs
+    returns both ``R_row[i] = sum_j w_ij Vy[j]`` and
+    ``R_col[j] = sum_i w_ij Vx[i]`` of the *raw* absorbed weights (no
+    per-row/-column normalization folded in — callers divide by the
+    forward row/column sums), halving the traversals of the two
+    :func:`gibbs_apply_walk` calls in the extrapolation backward."""
+    N, D = x.shape
+    M, _ = y.shape
+    C = Vy.shape[-1]
+    assert Vx.shape[-1] == C
+    assert N % block == 0 and M % block == 0 and block <= 2048
+
+    f32 = jnp.float32
+    x32, y32 = x.astype(f32), y.astype(f32)
+    eps32 = jnp.asarray(eps, f32)
+    if p == 2:
+        phi_eff = (phi.astype(f32) - 0.5 * (x32**2).sum(-1) / eps32) * LOG2E
+        psi_eff = (psi.astype(f32) - 0.5 * (y32**2).sum(-1) / eps32) * LOG2E
+    else:
+        phi_eff = phi.astype(f32) * LOG2E
+        psi_eff = psi.astype(f32) * LOG2E
+
+    xhT, yhT = _split6_pair(x32.T, y32.T)
+    psi_row = psi_eff[None, :]
+    sqx = ((x32**2).sum(-1))[:, None]
+    sqy = ((y32**2).sum(-1))[None, :]
+    vyT = Vy.astype(f32).T  # (C, M)
+    vx = Vx.astype(f32)  # (N, C)
+    eps_arr = eps32.reshape(1)
+    K = xhT.shape[0]
+    nI, nJ = N // block, M // block
+    nc, T_c = tbl.shape
+    rows_c = min(_cdiv(nI, 8) * 8, max(8, MAX_APPLY_ROWS))
+    nb = _cdiv(nJ, band_tiles)
+    Mb = nb * band_tiles * block
+
+    def _it(tb, t):
+        return (tb[t] >> 13) & 0x1FFF
+
+    def _jt(tb, t):
+        return tb[t] & 0x1FFF
+
+    def _bd(tb, t):
+        return (tb[t] & 0x1FFF) // band_tiles
+
+    def launch(tbl_c, xhT_c, phi_c, vx_c, sqx_c):
+        in_specs = [
+            pl.BlockSpec((K, block), lambda t, tb, e: (0, _it(tb, t))),
+            pl.BlockSpec((K, block), lambda t, tb, e: (0, _jt(tb, t))),
+            pl.BlockSpec((block, 1), lambda t, tb, e: (_it(tb, t), 0)),
+            pl.BlockSpec((1, block), lambda t, tb, e: (0, _jt(tb, t))),
+            pl.BlockSpec((C, block), lambda t, tb, e: (0, _jt(tb, t))),
+            pl.BlockSpec((block, C), lambda t, tb, e: (_it(tb, t), 0)),
+        ]
+        ops = [xhT_c, yhT, phi_c[:, None], psi_row, vyT, vx_c]
+        if p != 2:
+            in_specs += [
+                pl.BlockSpec((block, 1), lambda t, tb, e: (_it(tb, t), 0)),
+                pl.BlockSpec((1, block), lambda t, tb, e: (0, _jt(tb, t))),
+            ]
+            ops += [sqx_c, sqy]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(T_c,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((C * rows_c, block), lambda t, tb, e: (0, 0)),
+                pl.BlockSpec(
+                    (C, band_tiles * block), lambda t, tb, e: (0, _bd(tb, t))
+                ),
+            ],
+            scratch_shapes=[pltpu.VMEM((C, band_tiles * block), f32)],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _apply_walk_banded_kernel, p=p, kind=kind, block=block,
+                band_tiles=band_tiles, C=C, rows_c=rows_c,
+            ),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((C * rows_c, block), f32),
+                jax.ShapeDtypeStruct((C, Mb), f32),
+            ],
+            interpret=_interpret(),
+        )(tbl_c, eps_arr, *ops)
+
+    row_ops = [
+        (xhT, 1, 0.0), (phi_eff, 0, NEG_INF), (vx, 0, 0.0), (sqx, 0, 0.0)
+    ]
+    if nc == 1:
+        orow, ocol = launch(tbl[0], *[a for a, _, _ in row_ops])
+        orows = orow[None]
+    else:
+        xs = (tbl,) + tuple(
+            _walk_split_rows(a, ax, nI, nc, rows_c, fill)
+            for a, ax, fill in row_ops
+        )
+
+        def body(_, inp):
+            return None, launch(inp[0], *inp[1:])
+
+        _, (orows, ocols) = lax.scan(body, None, xs)
+        ocol = ocols.sum(axis=0)
+    # (nc, C * rows_c, block) -> (N, C):
+    R_row = (
+        orows.reshape(nc, C, rows_c * block)
+        .transpose(0, 2, 1)
+        .reshape(nc * rows_c * block, C)[:N]
+    )
+    R_col = ocol[:, :M].T  # (M, C)
+    return R_row, R_col
+
+
+def sinkhorn_step_walk_banded(eps, x, y, a_log, b_log, f, g, tbl, p=2,
+                              block=512, band_tiles=BAND_TILES):
+    """Single-pass banded analogue of :func:`sinkhorn_step_walk`: both
+    softmin directions from one traversal of the kept pairs."""
+    eps32 = jnp.asarray(eps, jnp.float32)
+    phi = a_log + f / eps32
+    psi = b_log + g / eps32
+    r, c = _absorbed_sum_walk_banded(
+        x, y, phi, psi, eps32, tbl, p, block, band_tiles
+    )
+    S_xy = (f + eps32 * (a_log - jnp.log(r))).astype(f.dtype)
+    S_yx = (g + eps32 * (b_log - jnp.log(c))).astype(g.dtype)
+    return S_xy, S_yx
+
+
 def _lse_walk_kernel(
     tbl_ref, eps_ref, xhT_ref, yhT_ref, h_ref, *rest, p,
 ):
@@ -1583,6 +2107,80 @@ def _softmin_extrap_walk_bwd(p, block, res, us):
 
 softmin_extrapolation_walk.defvjp(
     _softmin_extrap_walk_fwd, _softmin_extrap_walk_bwd
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def softmin_extrapolation_walk_banded(
+    x, y, f, g, loga, logb, eps, tblB, tblA, p, block
+):
+    """Banded twin of :func:`softmin_extrapolation_walk`: the forward
+    computes both directions in ONE pass over the kept pairs
+    (:func:`sinkhorn_step_walk_banded`); the backward computes BOTH
+    gradient contractions in one dual-direction pass over ``tblA`` (an
+    :data:`APPLY_BAND_TILES`-banded plan of the same pair set)."""
+    return sinkhorn_step_walk_banded(
+        eps, x, y, loga, logb, f, g, tblB, p=p, block=block
+    )
+
+
+def _softmin_extrap_walk_banded_fwd(
+    x, y, f, g, loga, logb, eps, tblB, tblA, p, block
+):
+    S_xy, S_yx = sinkhorn_step_walk_banded(
+        eps, x, y, loga, logb, f, g, tblB, p=p, block=block
+    )
+    return (S_xy, S_yx), (
+        x, y, f, g, loga, logb, eps, tblA, S_xy, S_yx
+    )
+
+
+def _softmin_extrap_walk_banded_bwd(p, block, res, us):
+    x, y, f, g, loga, logb, eps, tblA, S_xy, S_yx = res
+    u_f, u_g = us
+    eps32 = jnp.asarray(eps, jnp.float32)
+    f32 = jnp.float32
+    x32, y32 = x.astype(f32), y.astype(f32)
+    # RAW absorbed weights (normalization divided out below, from the
+    # forward's row/column sums):
+    phi = loga + f / eps32
+    psi = logb + g / eps32
+    if p == 2:
+        Vy, Vx, kind = y32, x32, "gibbs"
+    else:
+        Vy = jnp.concatenate(
+            [jnp.ones((y.shape[0], 1), f32), y32], axis=-1
+        )
+        Vx = jnp.concatenate(
+            [jnp.ones((x.shape[0], 1), f32), x32], axis=-1
+        )
+        kind = "gibbs_grad"
+    Rr, Rc = gibbs_apply_walk_banded(
+        x, y, phi, psi, Vy, Vx, eps32, tblA, p=p, kind=kind, block=block,
+        band_tiles=APPLY_BAND_TILES,
+    )
+    r = jnp.maximum(jnp.exp(loga + (f - S_xy) / eps32), _SUM_FLOOR)
+    c = jnp.maximum(jnp.exp(logb + (g - S_yx) / eps32), _SUM_FLOOR)
+    if p == 2:
+        dx = u_f[:, None] * (x32 - Rr / r[:, None])
+        dy = u_g[:, None] * (y32 - Rc / c[:, None])
+    else:
+        dx = u_f[:, None] * (x32 * (Rr[:, :1] / r[:, None])
+                             - Rr[:, 1:] / r[:, None])
+        dy = u_g[:, None] * (y32 * (Rc[:, :1] / c[:, None])
+                             - Rc[:, 1:] / c[:, None])
+    z = jnp.zeros_like
+    return (
+        dx.astype(x.dtype),
+        dy.astype(y.dtype),
+        z(f), z(g), z(loga), z(logb),
+        jnp.zeros_like(jnp.asarray(eps)),
+        None, None,
+    )
+
+
+softmin_extrapolation_walk_banded.defvjp(
+    _softmin_extrap_walk_banded_fwd, _softmin_extrap_walk_banded_bwd
 )
 
 

@@ -161,46 +161,60 @@ def main():
          clipped_rows_at_cap=int((wide.counts >= cap_m).sum()),
          cap=cap_m)
 
-    # --- fine steps at production caps ----------------------------------------
+    # --- fine steps through the PRODUCTION walk kernels -----------------------
     eps_fine = eps_list[jump + 1:]
     cap0 = mask_xy.cols.shape[1]
+    nJ_f = y_sd.shape[0] // tile
     f0 = jnp.zeros(x_sd.shape[0], jnp.float32)
+
+    def t_mean_of(ck):
+        return max(16, 5 * ck // 8)
+
     for e in eps_fine:
+        ck = min(cap0, max(24, -(-int(np.ceil(cap0 * e / eps_j)) // 8) * 8))
         d = 5 * (e - eps_j)
-        cnt = jnp.minimum(bs.retighten_counts(mask_xy.vals, d), cap0)
-        cntT = jnp.minimum(bs.retighten_counts(mask_xy.valsT, d), cap0)
-        m = mask_xy.with_counts(cnt, cntT)
-        fn = jax.jit(lambda f, g, m=m, e=e: bs.sinkhorn_step_sparse(
-            e, x_sd, y_sd, a_log_f, b_log_f, f, g, m, p=p, block=tile))
-        dt = timeit(fn, f0, f0, reps=2)
-        emit(N=N, phase="fine_step_xy_pair", eps=round(e, 5), ms=round(dt, 1),
-             kept_mean=round(float(cnt.mean()), 1), table_cap=cap0)
-        fn_s = jax.jit(lambda f, m=m, e=e: bs.sinkhorn_step_sparse(
-            e, x_sd, x_sd, a_log_f, a_log_f, f, f, m, p=p, block=tile,
+        cnt = jnp.minimum(bs.retighten_counts(mask_xy.vals, d), ck)
+        cntT = jnp.minimum(bs.retighten_counts(mask_xy.valsT, d), ck)
+        tb = bs.walk_plan(mask_xy.cols[:, :ck], cnt, t_mean_of(ck))
+        tbT = bs.walk_plan(mask_xy.colsT[:, :ck], cntT, t_mean_of(ck))
+        tbB = bs.walk_plan_banded(mask_xy.cols[:, :ck], cnt, t_mean_of(ck),
+                                  nJ_f)
+        fn2 = jax.jit(lambda f, g, tb=tb, tbT=tbT, e=e: bs.sinkhorn_step_walk(
+            e, x_sd, y_sd, a_log_f, b_log_f, f, g, tb, tbT, p=p, block=tile))
+        dt2 = timeit(fn2, f0, f0, reps=2)
+        fn1 = jax.jit(lambda f, g, tbB=tbB, e=e: bs.sinkhorn_step_walk_banded(
+            e, x_sd, y_sd, a_log_f, b_log_f, f, g, tbB, p=p, block=tile))
+        dt1 = timeit(fn1, f0, f0, reps=2)
+        emit(N=N, phase="fine_step_xy_pair", eps=round(e, 5),
+             two_pass_ms=round(dt2, 1), banded_ms=round(dt1, 1),
+             kept_mean=round(float(cnt.mean()), 1), table_cap=ck)
+        fn_s = jax.jit(lambda f, tb=tb, e=e: bs.sinkhorn_step_walk(
+            e, x_sd, x_sd, a_log_f, a_log_f, f, f, tb, None, p=p, block=tile,
             sym=True)[0])
         dt = timeit(fn_s, f0, reps=2)
         emit(N=N, phase="fine_step_sym", eps=round(e, 5), ms=round(dt, 1),
-             note="x2 in the solve (xx, yy)")
+             note="x2 in the solve (xx, yy); xy-mask proxy tables")
 
-    # --- fused last extrapolation ---------------------------------------------
+    # --- fused last extrapolation (banded fwd + dual-apply bwd) ---------------
     e_last = eps_fine[-1]
+    ck = min(cap0, max(24, -(-int(np.ceil(cap0 * e_last / eps_j)) // 8) * 8))
     d = 5 * (e_last - eps_j)
-    cnt = jnp.minimum(bs.retighten_counts(mask_xy.vals, d), cap0)
-    cntT = jnp.minimum(bs.retighten_counts(mask_xy.valsT, d), cap0)
-    ex_fn = jax.jit(lambda f, g: bs.softmin_extrapolation_sparse(
-        x_sd, y_sd, f, g, a_log_f, b_log_f, e_last,
-        mask_xy.cols, cnt, mask_xy.colsT, cntT, p, tile))
+    cnt = jnp.minimum(bs.retighten_counts(mask_xy.vals, d), ck)
+    tbB = bs.walk_plan_banded(mask_xy.cols[:, :ck], cnt, t_mean_of(ck), nJ_f)
+    tbA = bs.walk_plan_banded(mask_xy.cols[:, :ck], cnt, t_mean_of(ck), nJ_f,
+                              band_tiles=bs.APPLY_BAND_TILES)
+    ex_fn = jax.jit(lambda f, g: bs.softmin_extrapolation_walk_banded(
+        x_sd, y_sd, f, g, a_log_f, b_log_f, e_last, tbB, tbA, p, tile))
     dt = timeit(ex_fn, f0, f0, reps=2)
-    emit(N=N, phase="extrap_sparse_fwd", ms=round(dt, 1))
+    emit(N=N, phase="extrap_banded_fwd", ms=round(dt, 1))
 
     def ex_loss(xx, yy):
-        S_xy, S_yx = bs.softmin_extrapolation_sparse(
-            xx, yy, f0, f0, a_log_f, b_log_f, e_last,
-            mask_xy.cols, cnt, mask_xy.colsT, cntT, p, tile)
+        S_xy, S_yx = bs.softmin_extrapolation_walk_banded(
+            xx, yy, f0, f0, a_log_f, b_log_f, e_last, tbB, tbA, p, tile)
         return (a_s * S_xy).sum() + (b_s * S_yx).sum()
     ex_grad = jax.jit(jax.grad(ex_loss, argnums=(0, 1)))
     dt = timeit(ex_grad, x_sd, y_sd, reps=2)
-    emit(N=N, phase="extrap_sparse_fwd_bwd", ms=round(dt, 1))
+    emit(N=N, phase="extrap_banded_fwd_bwd", ms=round(dt, 1))
 
     _dense_step_marginal(N)
     _flush()
