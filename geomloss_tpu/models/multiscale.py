@@ -37,16 +37,16 @@ from jax import lax
 
 from ..ops.block_sparse import (
     APPLY_BAND_TILES,
+    MAX_APPLY_ROWS,
     build_tile_masks,
     lse_sparse_custom,
     masks_from_coarse,
     retighten_counts,
-    sinkhorn_step_walk,
     sinkhorn_step_walk_banded,
+    sinkhorn_step_walk_banded_sym,
     softmin_extrap_truncated,
     softmin_extrapolation_walk_banded,
-    softmin_extrapolation_walk_sym,
-    walk_plan,
+    softmin_extrapolation_walk_banded_sym,
     walk_plan_banded,
 )
 from ..ops.softmin import (
@@ -902,23 +902,22 @@ def sinkhorn_multiscale(
 
             nJ_f = y_sd.shape[0] // tile
 
-            def plans(mask, ck, d, sym=False):
-                cnt = jnp.minimum(retighten_counts(mask.vals, d), ck)
-                tb = walk_plan(mask.cols[:, :ck], cnt, t_mean_of(ck))
-                if sym:
-                    return tb, None
-                cntT = jnp.minimum(retighten_counts(mask.valsT, d), ck)
-                tbT = walk_plan(mask.colsT[:, :ck], cntT, t_mean_of(ck))
-                return tb, tbT
-
-            def plans_banded(mask, ck, d, band_tiles=None):
+            def plans_banded(mask, ck, d, band_tiles=None, tri=False):
                 # One band-major table serves BOTH reduction directions
                 # of the asymmetric step (round 4): half the traversals
-                # of the (tbl, tblT) pair above.
+                # of the (tbl, tblT) pair above. Triangle (sym) tables
+                # hold ~half the entries, so their step budget halves.
                 cnt = jnp.minimum(retighten_counts(mask.vals, d), ck)
-                kw = {} if band_tiles is None else {"band_tiles": band_tiles}
+                kw = {}
+                if band_tiles is not None:
+                    # Apply-banded tables: the dual apply kernel's larger
+                    # accumulators also shrink its row chunks.
+                    kw = {"band_tiles": band_tiles,
+                          "rows_chunk": MAX_APPLY_ROWS}
+                tm = max(12, t_mean_of(ck) // 2 + 2) if tri \
+                    else t_mean_of(ck)
                 return walk_plan_banded(
-                    mask.cols[:, :ck], cnt, t_mean_of(ck), nJ_f, **kw
+                    mask.cols[:, :ck], cnt, tm, nJ_f, tri=tri, **kw
                 )
 
             def run_fine_groups(carry):
@@ -930,11 +929,16 @@ def sinkhorn_multiscale(
                         )
                     }
                     if debias:
+                        # Symmetric problems run the TRIANGLE banded
+                        # tables (col >= row, mirrored column sums):
+                        # half the pair visits of the full sym walk.
                         xs["xx"] = jnp.stack(
-                            [plans(mask_xx, ck, d, sym=True)[0] for d in ds]
+                            [plans_banded(mask_xx, ck, d, tri=True)
+                             for d in ds]
                         )
                         xs["yy"] = jnp.stack(
-                            [plans(mask_yy, ck, d, sym=True)[0] for d in ds]
+                            [plans_banded(mask_yy, ck, d, tri=True)
+                             for d in ds]
                         )
                     fns = (
                         lambda e, f, g, t: sinkhorn_step_walk_banded(
@@ -942,16 +946,16 @@ def sinkhorn_multiscale(
                             t["xy"], p=p, block=tile,
                         ),
                         (
-                            lambda e, f, t: sinkhorn_step_walk(
-                                e, x_sd, x_sd, a_log_f, a_log_f, f, f,
-                                t["xx"], None, p=p, block=tile, sym=True,
-                            )[0]
+                            lambda e, f, t: sinkhorn_step_walk_banded_sym(
+                                e, x_sd, a_log_f, f, t["xx"], p=p,
+                                block=tile,
+                            )
                         ) if debias else None,
                         (
-                            lambda e, g, t: sinkhorn_step_walk(
-                                e, y_sd, y_sd, b_log_f, b_log_f, g, g,
-                                t["yy"], None, p=p, block=tile, sym=True,
-                            )[0]
+                            lambda e, g, t: sinkhorn_step_walk_banded_sym(
+                                e, y_sd, b_log_f, g, t["yy"], p=p,
+                                block=tile,
+                            )
                         ) if debias else None,
                     )
                     carry = _scan_iterations(
@@ -973,8 +977,16 @@ def sinkhorn_multiscale(
                 mask_xy, ck_l, d_last, band_tiles=APPLY_BAND_TILES
             )
             if debias:
-                tbl_xx_l = plans(mask_xx, ck_l, d_last, sym=True)[0]
-                tbl_yy_l = plans(mask_yy, ck_l, d_last, sym=True)[0]
+                tblB_xx_l = plans_banded(mask_xx, ck_l, d_last, tri=True)
+                tblA_xx_l = plans_banded(
+                    mask_xx, ck_l, d_last, band_tiles=APPLY_BAND_TILES,
+                    tri=True,
+                )
+                tblB_yy_l = plans_banded(mask_yy, ck_l, d_last, tri=True)
+                tblA_yy_l = plans_banded(
+                    mask_yy, ck_l, d_last, band_tiles=APPLY_BAND_TILES,
+                    tri=True,
+                )
 
             def fused_extrap(eps_last, f_ba_f, g_ab_f, f_aa_f, g_bb_f):
                 S_xy, S_yx = softmin_extrapolation_walk_banded(
@@ -983,13 +995,13 @@ def sinkhorn_multiscale(
                     tblB_xy_l, tblA_xy_l, p, tile,
                 )
                 if debias:
-                    S_xx = softmin_extrapolation_walk_sym(
+                    S_xx = softmin_extrapolation_walk_banded_sym(
                         x_s, sg(f_aa_f), sg(a_log_f), eps_last,
-                        tbl_xx_l, p, tile,
+                        tblB_xx_l, tblA_xx_l, p, tile,
                     )
-                    S_yy = softmin_extrapolation_walk_sym(
+                    S_yy = softmin_extrapolation_walk_banded_sym(
                         y_s, sg(g_bb_f), sg(b_log_f), eps_last,
-                        tbl_yy_l, p, tile,
+                        tblB_yy_l, tblA_yy_l, p, tile,
                     )
                 else:
                     S_xx = S_yy = None

@@ -448,7 +448,7 @@ MAX_BANDED_ROWS = 512
 
 
 def walk_plan_banded(cols, counts, t_mean, n_col_tiles,
-                     band_tiles=BAND_TILES):
+                     band_tiles=BAND_TILES, tri=False, rows_chunk=None):
     """Pack a ``(cols, counts)`` table into band-major step lists.
 
     Args:
@@ -458,6 +458,11 @@ def walk_plan_banded(cols, counts, t_mean, n_col_tiles,
             count exceeds ``rows_c * t_mean`` clips every row
             proportionally (keeping each row's best-scoring tiles).
         n_col_tiles: static column-tile count of the traversed operand.
+        tri: symmetric-problem triangle mode — keep only tiles with
+            ``col >= row`` (the kernel's column outputs then supply the
+            mirrored lower-triangle contributions at half the pair
+            visits); diagonal tiles get the no-column bit (28) so their
+            intra-tile pairs are not double counted.
 
     Returns:
         ``(nc, T_c)`` int32 packed step table, steps ordered by
@@ -466,8 +471,11 @@ def walk_plan_banded(cols, counts, t_mean, n_col_tiles,
     nI, cap = cols.shape
     assert n_col_tiles <= 8192 and nI <= 8192, "13-bit table fields"
     # Multiple of 8: the kernel's row accumulator addresses 8-aligned
-    # sublane groups.
-    rows_c = min(_cdiv(nI, 8) * 8, max(8, MAX_BANDED_ROWS))
+    # sublane groups. Tables for the dual APPLY kernel must be chunked
+    # at its (smaller) MAX_APPLY_ROWS — pass rows_chunk accordingly.
+    if rows_chunk is None:
+        rows_chunk = MAX_BANDED_ROWS
+    rows_c = min(_cdiv(nI, 8) * 8, max(8, rows_chunk))
     nc = _cdiv(nI, rows_c)
     nIp = nc * rows_c
     nb = _cdiv(n_col_tiles, band_tiles)
@@ -476,6 +484,17 @@ def walk_plan_banded(cols, counts, t_mean, n_col_tiles,
         counts = jnp.pad(counts, (0, nIp - nI))
     budget = rows_c * t_mean
     T_c = budget + nb
+
+    if tri:
+        # Compress each row's upper-triangle entries to the front,
+        # preserving the score order (key packs (rank, col)):
+        gr = jnp.arange(nIp, dtype=jnp.int32)
+        k0 = jnp.arange(cap, dtype=jnp.int32)
+        ok = (k0[None, :] < counts[:, None]) & (cols >= gr[:, None])
+        key = jnp.where(ok, (k0[None, :] << 13) | cols, jnp.int32(1 << 28))
+        key = jnp.sort(key, axis=-1)
+        cols = key & 0x1FFF
+        counts = ok.sum(axis=1).astype(jnp.int32)
 
     cnt = counts.reshape(nc, rows_c).astype(jnp.int32)
     colc = cols.reshape(nc, rows_c, cap).astype(jnp.int32)
@@ -514,9 +533,10 @@ def walk_plan_banded(cols, counts, t_mean, n_col_tiles,
     used = band_start[:, -1] + tb[:, -1] + 1
 
     t_idx = jnp.arange(T_c, dtype=jnp.int32)
+    chunk_base = jnp.arange(nc, dtype=jnp.int32) * rows_c
 
     def per_chunk(band_start_c, tb_c, row_cum_c, hbT_c, row_pre_c, colv_c,
-                  used_c):
+                  used_c, base_c):
         b = (
             jnp.searchsorted(band_start_c, t_idx, side="right").astype(
                 jnp.int32
@@ -545,13 +565,17 @@ def walk_plan_banded(cols, counts, t_mean, n_col_tiles,
             jnp.int32
         )
         word = (fl << 26) | (r << 13) | jt
+        if tri:
+            # Diagonal tiles contribute only through the row direction:
+            nocol = (~marker) & (jt == base_c + r)
+            word = word | (nocol.astype(jnp.int32) << 28)
         # Trailing dead slots repeat the last real step (fl = 2):
         last = word[jnp.maximum(used_c - 1, 0)]
         dead_word = (jnp.int32(2) << 26) | (last & ((1 << 26) - 1))
         return jnp.where(t_idx < used_c, word, dead_word)
 
     return jax.vmap(per_chunk)(
-        band_start, tb, row_cum, hbT, row_pre, colv, used
+        band_start, tb, row_cum, hbT, row_pre, colv, used, chunk_base
     )
 
 
@@ -565,7 +589,8 @@ def _pair_walk_banded_kernel(
         sqx_ref, sqy_ref, orow_ref, ocol_ref, cacc_ref = rest
     t = pl.program_id(0)
     w = tbl_ref[t]
-    fl = w >> 26
+    fl = (w >> 26) & 3
+    nocol = (w >> 28) & 1  # triangle diagonal: skip the column direction
     it = (w >> 13) & 0x1FFF
     jt = w & 0x1FFF
 
@@ -608,6 +633,7 @@ def _pair_walk_banded_kernel(
         # Column sums accumulate in the scratch (the banded OUTPUT block
         # switches buffers at band boundaries, so reads from it are not
         # reliable); fl == 3 flushes the finished band below.
+        cs = jnp.where(nocol == 0, cs, jnp.zeros_like(cs))
         joff = pl.ds((jt % band_tiles) * block, block)
         cacc_ref[:, joff] = cacc_ref[:, joff] + cs
 
@@ -744,7 +770,8 @@ def _apply_walk_banded_kernel(
         sqx_ref, sqy_ref, orow_ref, ocol_ref, cacc_ref = rest
     t = pl.program_id(0)
     w_t = tbl_ref[t]
-    fl = w_t >> 26
+    fl = (w_t >> 26) & 3
+    nocol = (w_t >> 28) & 1
     it = (w_t >> 13) & 0x1FFF
     jt = w_t & 0x1FFF
 
@@ -791,6 +818,7 @@ def _apply_walk_banded_kernel(
             ],
             axis=0,
         )
+        cstack = jnp.where(nocol == 0, cstack, jnp.zeros_like(cstack))
         joff = pl.ds((jt % band_tiles) * block, block)
         cacc_ref[:, joff] = cacc_ref[:, joff] + cstack
 
@@ -932,6 +960,23 @@ def sinkhorn_step_walk_banded(eps, x, y, a_log, b_log, f, g, tbl, p=2,
     S_xy = (f + eps32 * (a_log - jnp.log(r))).astype(f.dtype)
     S_yx = (g + eps32 * (b_log - jnp.log(c))).astype(g.dtype)
     return S_xy, S_yx
+
+
+def sinkhorn_step_walk_banded_sym(eps, x, a_log, f, tbl, p=2, block=512,
+                                  band_tiles=BAND_TILES):
+    """Symmetric absorbed step over a TRIANGLE banded table
+    (``walk_plan_banded(..., tri=True)``): the row direction covers the
+    kept ``col >= row`` tiles and the column direction supplies the
+    mirrored lower-triangle contributions (W is symmetric), so the full
+    softmin costs half the pair visits of :func:`sinkhorn_step_walk`'s
+    ``sym=True`` traversal."""
+    eps32 = jnp.asarray(eps, jnp.float32)
+    phi = a_log + f / eps32
+    r, c = _absorbed_sum_walk_banded(
+        x, x, phi, phi, eps32, tbl, p, block, band_tiles
+    )
+    s = jnp.maximum(r + c, _SUM_FLOOR)
+    return (f + eps32 * (a_log - jnp.log(s))).astype(f.dtype)
 
 
 def _lse_walk_kernel(
@@ -2214,6 +2259,62 @@ def _softmin_extrap_walk_sym_bwd(p, block, res, u):
 
 softmin_extrapolation_walk_sym.defvjp(
     _softmin_extrap_walk_sym_fwd, _softmin_extrap_walk_sym_bwd
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def softmin_extrapolation_walk_banded_sym(
+    x, f, loga, eps, tblB, tblA, p, block
+):
+    """Triangle-banded twin of :func:`softmin_extrapolation_walk_sym`:
+    half the pair visits in both the forward (mirrored column sums) and
+    the backward (dual apply on ``tblA``, mirrored contractions)."""
+    return sinkhorn_step_walk_banded_sym(
+        eps, x, loga, f, tblB, p=p, block=block
+    )
+
+
+def _softmin_extrap_walk_banded_sym_fwd(x, f, loga, eps, tblB, tblA, p,
+                                        block):
+    S = sinkhorn_step_walk_banded_sym(
+        eps, x, loga, f, tblB, p=p, block=block
+    )
+    return S, (x, f, loga, eps, tblA, S)
+
+
+def _softmin_extrap_walk_banded_sym_bwd(p, block, res, u):
+    x, f, loga, eps, tblA, S = res
+    eps32 = jnp.asarray(eps, jnp.float32)
+    f32 = jnp.float32
+    x32 = x.astype(f32)
+    phi = loga + f / eps32
+    if p == 2:
+        V, kind = x32, "gibbs"
+    else:
+        V = jnp.concatenate([jnp.ones((x.shape[0], 1), f32), x32], axis=-1)
+        kind = "gibbs_grad"
+    Rr, Rc = gibbs_apply_walk_banded(
+        x, x, phi, phi, V, V, eps32, tblA, p=p, kind=kind, block=block,
+        band_tiles=APPLY_BAND_TILES,
+    )
+    R = Rr + Rc  # upper-triangle rows + mirrored lower-triangle columns
+    s = jnp.maximum(jnp.exp(loga + (f - S) / eps32), _SUM_FLOOR)
+    if p == 2:
+        dx = u[:, None] * (x32 - R / s[:, None])
+    else:
+        dx = u[:, None] * (x32 * (R[:, :1] / s[:, None])
+                           - R[:, 1:] / s[:, None])
+    return (
+        dx.astype(x.dtype),
+        jnp.zeros_like(f),
+        jnp.zeros_like(loga),
+        jnp.zeros_like(jnp.asarray(eps)),
+        None, None,
+    )
+
+
+softmin_extrapolation_walk_banded_sym.defvjp(
+    _softmin_extrap_walk_banded_sym_fwd, _softmin_extrap_walk_banded_sym_bwd
 )
 
 

@@ -186,15 +186,14 @@ def test_walk_budget_clip_degrades_gracefully(monkeypatch):
     full = float(sinkhorn_multiscale(a, x, a, y, **kw))
     from geomloss_tpu.ops import block_sparse as bs
 
-    real_plan = bs.walk_plan
-    monkeypatch.setattr(
-        bs, "walk_plan", lambda cols, counts, t_mean: real_plan(
-            cols, counts, max(2, t_mean // 16)
-        )
-    )
-    monkeypatch.setattr(
-        msmod, "walk_plan", bs.walk_plan
-    )
+    real_plan = bs.walk_plan_banded
+
+    def tight_plan(cols, counts, t_mean, n_col_tiles, **kw):
+        return real_plan(cols, counts, max(2, t_mean // 16), n_col_tiles,
+                         **kw)
+
+    monkeypatch.setattr(bs, "walk_plan_banded", tight_plan)
+    monkeypatch.setattr(msmod, "walk_plan_banded", tight_plan)
     jax.clear_caches()
     tight = float(sinkhorn_multiscale(a, x, a, y, **kw))
     monkeypatch.setattr(msmod, "N_FINE_OK", 1 << 20)

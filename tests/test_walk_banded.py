@@ -158,3 +158,60 @@ def test_banded_extrapolation_grad_matches_two_pass(p, monkeypatch):
     np.testing.assert_allclose(v_b, v_ref, rtol=2e-6, atol=2e-6)
     for gb, gr in zip(gr_b, gr_ref):
         np.testing.assert_allclose(gb, gr, rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("p", [2, 1])
+def test_triangle_sym_matches_full_walk(p, monkeypatch):
+    """tri=True tables: upper-triangle visits + mirrored column sums
+    reproduce the full symmetric walk at half the pair count."""
+    monkeypatch.setattr(bs, "APPLY_BAND_TILES", 2)
+    key = jax.random.PRNGKey(6)
+    n_tiles, block, cap = 6, 128, 6
+    x, _, f, _, a_log, _ = _random_problem(key, n_tiles, n_tiles, block)
+    # Symmetric pattern with a roomy cap (top-k never clips):
+    dense = jax.random.uniform(jax.random.PRNGKey(7), (n_tiles, n_tiles)) < 0.5
+    dense = dense | dense.T | jnp.eye(n_tiles, dtype=bool)
+    score = jnp.where(dense, 1.0, -jnp.inf)
+    cols, counts, _ = bs._cols_from_score(score, cap)
+    eps = 0.3
+
+    tbl = bs.walk_plan(cols, counts, cap)
+    S_ref = bs.sinkhorn_step_walk(
+        eps, x, x, a_log, a_log, f, f, tbl, None, p=p, block=block,
+        sym=True,
+    )[0]
+    tblB = bs.walk_plan_banded(cols, counts, cap, n_tiles, band_tiles=4,
+                               tri=True)
+    # Triangle tables hold ~half the entries:
+    words = np.asarray(tblB[0])
+    live = words[np.isin((words >> 26) & 3, [0, 3])]
+    rows = (live >> 13) & 0x1FFF
+    jts = live & 0x1FFF
+    assert (jts >= rows).all(), "triangle filter kept a lower tile"
+    S_b = bs.sinkhorn_step_walk_banded_sym(
+        eps, x, a_log, f, tblB, p=p, block=block, band_tiles=4
+    )
+    # Mirrored column sums reassociate the summation: ~1e-5 f32 slack.
+    np.testing.assert_allclose(S_b, S_ref, rtol=3e-5, atol=3e-5)
+
+    # Differentiable extrapolation: value + gradient parity.
+    tblA = bs.walk_plan_banded(cols, counts, cap, n_tiles, band_tiles=2,
+                               tri=True)
+    a = jnp.full((x.shape[0],), 1.0 / x.shape[0])
+
+    def loss_ref(xx):
+        S = bs.softmin_extrapolation_walk_sym(
+            xx, f, a_log, eps, tbl, p, block
+        )
+        return (a * S).sum()
+
+    def loss_banded(xx):
+        S = bs.softmin_extrapolation_walk_banded_sym(
+            xx, f, a_log, eps, tblB, tblA, p, block
+        )
+        return (a * S).sum()
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(x)
+    v_b, g_b = jax.value_and_grad(loss_banded)(x)
+    np.testing.assert_allclose(v_b, v_ref, rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(g_b, g_ref, rtol=1e-4, atol=2e-6)
