@@ -4,10 +4,17 @@ Reproduces the reference's north-star protocol
 (``examples/performances/plot_benchmarks_samplesloss_3D.py``: loss +
 gradient wall-clock on 3D point clouds drawn on the unit sphere,
 ``blur=0.05``, ``scaling=0.5``) at N = 100,000 points per measure on one
-TPU chip, using the streaming online backend.
+TPU chip, through ``backend="auto"`` (which resolves to the multiscale
+backend at this size, like the reference's heuristic).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
+     "marginal_ms": ..., "loss_value": ..., "loss_rel_err_vs_exact": ...}
+
+``loss_value`` and its relative error against the exact online backend
+(same clouds, truncate=None semantics) make every headline row
+accuracy-checkable after kernel rewrites — a silent value regression
+fails loudly here instead of shipping (round-4 lesson).
 
 ``vs_baseline`` is the speedup against the reference GeomLoss online
 (KeOps) backend on its documented benchmark GPU (RTX 3090): ~1.4 s for
@@ -105,6 +112,18 @@ def main():
     k = 4
     marginal = (chained(k) - chained(1)) / (k - 1)
 
+    # Accuracy guard: the headline solver's value against the exact
+    # (untruncated, streaming) online backend on the same clouds. A
+    # kernel rewrite that shifts the value now fails in the headline
+    # artifact instead of shipping silently.
+    v_fast, _ = step(x, y)
+    loss_exact = SamplesLoss(
+        "sinkhorn", p=2, blur=0.05, diameter=2.0, scaling=0.5,
+        backend="online", truncate=None,
+    )
+    v_exact = float(jax.jit(loss_exact.__call__)(x, y))
+    rel_err = abs(float(v_fast) - v_exact) / max(abs(v_exact), 1e-30)
+
     print(
         json.dumps(
             {
@@ -113,6 +132,9 @@ def main():
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_SECONDS / dt, 3),
                 "marginal_ms": round(marginal * 1e3, 2),
+                "loss_value": float(v_fast),
+                "loss_exact": v_exact,
+                "loss_rel_err_vs_exact": round(rel_err, 6),
             }
         )
     )

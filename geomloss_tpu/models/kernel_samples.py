@@ -166,6 +166,37 @@ kernel_tensorized = partial(kernel_loss, use_streaming=False)
 kernel_online = partial(kernel_loss, use_streaming=True)
 
 
+def _kernel_matvec_sparse_custom(kernel, blur, x, y, v, cols, counts,
+                                 block):
+    """(K @ v) of a user ``kernel(x, y, blur=...)`` over the kept tile
+    pairs of a geometry mask: a double scan (row tiles x kept slots)
+    keeps the live working set at one ``(block, block)`` kernel block, so
+    memory stays flat at any N. Pure-JAX (no Pallas): custom kernels are
+    arbitrary callables, so this is the parity path, not the hot path —
+    named kernels route through the fused ``kernel_matvec_sparse``."""
+    N, D = x.shape
+    nI, cap = cols.shape
+    xb = x.reshape(nI, block, D)
+    yb = y.reshape(-1, block, D)
+    vb = v.reshape(-1, block)
+
+    def row(_, inp):
+        xt, ci, cnt = inp
+
+        def inner(acc, k):
+            j = ci[k]
+            Kb = kernel(xt, yb[j], blur=blur)  # (block, block)
+            contrib = Kb @ vb[j]
+            return acc + jnp.where(k < cnt, contrib, 0.0), None
+
+        acc0 = jnp.zeros((block,), x.dtype)
+        acc, _ = lax.scan(inner, acc0, jnp.arange(cap))
+        return None, acc
+
+    _, out = lax.scan(row, None, (xb, cols, counts))
+    return out.reshape(N)
+
+
 def kernel_multiscale(
     a,
     x,
@@ -179,6 +210,7 @@ def kernel_multiscale(
     cluster_scale=None,
     potentials=False,
     verbose=False,
+    kernel_radius=None,
     **kwargs,
 ):
     """Multiscale (block-sparse truncated) MMD loss on unbatched clouds.
@@ -186,11 +218,14 @@ def kernel_multiscale(
     TPU re-design of the reference's KeOps block-sparse path
     (``kernel_samples.py:177-271``): points are KD/Hilbert-sorted into
     fixed tiles, and only tile pairs whose minimum possible distance is
-    below ``truncate * blur`` are visited — the effective support of the
-    gaussian/laplacian kernel, exactly the reference's keep rule in blur
-    units (``:249-256``). Falls back to the exact streaming evaluation for
-    the energy kernel or when ``truncate`` is None (the reference does the
-    same, ``:192-204``).
+    below the kernel's support radius — ``truncate * blur`` by default,
+    exactly the reference's keep rule in blur units (``:249-256``) — are
+    visited. User ``kernel=`` callables run through the same kept-tile
+    ranges (the keep rule is geometry-only), like the reference's
+    ``:206-271``; pass ``kernel_radius=`` if the kernel's support differs
+    from ``truncate * blur``. Falls back to the exact streaming
+    evaluation for the energy kernel or when ``truncate`` is None (the
+    reference does the same, ``:192-204``).
     """
 
     def _streaming_fallback():
@@ -207,7 +242,9 @@ def kernel_multiscale(
             return out[0] if out.ndim else out
         return out
 
-    if truncate is None or name == "energy" or kernel is not None or x.ndim > 2:
+    if truncate is None or name == "energy" or x.ndim > 2 or (
+        kernel is not None and not callable(kernel)
+    ):
         return _streaming_fallback()
 
     from functools import partial
@@ -219,9 +256,15 @@ def kernel_multiscale(
     N, D = x.shape
     M, _ = y.shape
 
-    p, _kind = _streaming_params[name]
-    eps = blur**p
-    radius = truncate * blur
+    if kernel is None:
+        p, _kind = _streaming_params[name]
+        eps = blur**p
+    # User kernels share the geometry-only keep rule; the default support
+    # radius matches the named kernels' (truncate blur units). The
+    # reference runs custom kernels through the same block-sparse ranges
+    # (_legacy/kernel_samples.py:206-271).
+    radius = kernel_radius if kernel_radius is not None \
+        else truncate * blur
 
     # Rough extent used only to park zero-weight padding out of the way
     # (may be a traced value — it only feeds the padding coordinates):
@@ -250,13 +293,24 @@ def kernel_multiscale(
             f"{float(mask_xy.counts.mean()):.1f} neighbours (radius {radius:.3f})."
         )
 
-    mv = partial(kernel_matvec_sparse, p=p, block=tile)
-    a_x = mv(double_grad(x_s), sg(x_s), sg(a_s), eps, mask_xx)
-    b_y = mv(double_grad(y_s), sg(y_s), sg(b_s), eps, mask_yy)
-    b_x = mv(x_s, y_s, b_s, eps, mask_xy)
+    if kernel is None:
+        mv_ = partial(kernel_matvec_sparse, p=p, block=tile)
+
+        def mv(xx, yy, vv, mask):
+            return mv_(xx, yy, vv, eps, mask)
+    else:
+
+        def mv(xx, yy, vv, mask):
+            return _kernel_matvec_sparse_custom(
+                kernel, blur, xx, yy, vv, mask.cols, mask.counts, tile
+            )
+
+    a_x = mv(double_grad(x_s), sg(x_s), sg(a_s), mask_xx)
+    b_y = mv(double_grad(y_s), sg(y_s), sg(b_s), mask_yy)
+    b_x = mv(x_s, y_s, b_s, mask_xy)
 
     if potentials:
-        a_y = mv(y_s, x_s, a_s, eps, mask_xy.transpose())
+        a_y = mv(y_s, x_s, a_s, mask_xy.transpose())
         F = a_x - b_x
         G = b_y - a_y
         f_out = jnp.zeros((N,), F.dtype).at[perm_x].set(F, mode="drop")

@@ -241,9 +241,12 @@ EXTRAP_BM = 128
 #: Test/debug hook: force the intermediate-scale pooling factor.
 _B_MID_OVERRIDE = None
 
-#: Debug hook: return the mid-phase state just before the fine tables
-#: are built (mask-construction analysis on real hardware, where
-#: io_callback/debug.print are unavailable).
+#: Debug hook: return the fine-entry state just before the fine tables
+#: are built (mask-construction and kernel-equivalence analysis on real
+#: hardware, where io_callback/debug.print are unavailable). Fires on
+#: any solve with a fine phase (whether or not the intermediate scale
+#: ran); the "mid" keys hold the extrapolation-source cloud (coarse when
+#: ``n_delay == 0``).
 _DEBUG_MID_STATE = False
 
 
@@ -669,7 +672,7 @@ def sinkhorn_multiscale(
     else:
         f_aa_f, g_bb_f = jnp.zeros_like(f_ba_f), jnp.zeros_like(g_ab_f)
 
-    if _DEBUG_MID_STATE and n_delay > 0:
+    if _DEBUG_MID_STATE and not last_is_jump:
         return dict(
             x_sd=x_sd, y_sd=y_sd, f_ba_f=f_ba_f, g_ab_f=g_ab_f,
             f_aa_f=f_aa_f, g_bb_f=g_bb_f,
@@ -892,21 +895,24 @@ def sinkhorn_multiscale(
             # Group consecutive fine iterations sharing a static cap; each
             # group runs as one scan over its (eps, damp, step-table)
             # stack. Every traversal goes through the step-list walk
-            # (round 4): the grid size tracks the TOTAL kept count per
-            # chunk (mean-level budget ~5/8 of the width) instead of the
-            # per-row width, so wide, unclipped tables cost no dead steps.
+            # (round 4): the grid size tracks the kept count per chunk.
             groups = fine_cap_schedule(eps_fine, eps_m, cap0)
 
-            def t_mean_of(ck):
-                return max(16, 5 * ck // 8)
-
+            nI_f = x_sd.shape[0] // tile
             nJ_f = y_sd.shape[0] // tile
 
-            def plans_banded(mask, ck, d, band_tiles=None, tri=False):
+            def plans_banded(mask, ck, d, n_col, band_tiles=None,
+                             tri=False):
                 # One band-major table serves BOTH reduction directions
                 # of the asymmetric step (round 4): half the traversals
-                # of the (tbl, tblT) pair above. Triangle (sym) tables
-                # hold ~half the entries, so their step budget halves.
+                # of the (tbl, tblT) pair above. The step budget is the
+                # FULL per-row cap: counts are tracers under jit, and any
+                # data-dependent proportional clip silently drops kept
+                # tiles (round 4 shipped t_mean = 5*cap/8, which clipped
+                # ~20% of the 1M kept set and shifted the committed loss
+                # 7.4x — the round-5 root cause). Dead steps are gated
+                # (no DMA, ~0.5 us each): the safety margin costs a few
+                # ms per sweep, never correctness.
                 cnt = jnp.minimum(retighten_counts(mask.vals, d), ck)
                 kw = {}
                 if band_tiles is not None:
@@ -914,10 +920,8 @@ def sinkhorn_multiscale(
                     # accumulators also shrink its row chunks.
                     kw = {"band_tiles": band_tiles,
                           "rows_chunk": MAX_APPLY_ROWS}
-                tm = max(12, t_mean_of(ck) // 2 + 2) if tri \
-                    else t_mean_of(ck)
                 return walk_plan_banded(
-                    mask.cols[:, :ck], cnt, tm, nJ_f, tri=tri, **kw
+                    mask.cols[:, :ck], cnt, ck, n_col, tri=tri, **kw
                 )
 
             def run_fine_groups(carry):
@@ -925,19 +929,22 @@ def sinkhorn_multiscale(
                     ds = [truncate * (e - eps_m) for e in es]
                     xs = {
                         "xy": jnp.stack(
-                            [plans_banded(mask_xy, ck, d) for d in ds]
+                            [plans_banded(mask_xy, ck, d, nJ_f)
+                             for d in ds]
                         )
                     }
                     if debias:
                         # Symmetric problems run the TRIANGLE banded
                         # tables (col >= row, mirrored column sums):
                         # half the pair visits of the full sym walk.
+                        # mask_xx columns index x tiles, mask_yy's y
+                        # tiles — each gets its own column-tile count.
                         xs["xx"] = jnp.stack(
-                            [plans_banded(mask_xx, ck, d, tri=True)
+                            [plans_banded(mask_xx, ck, d, nI_f, tri=True)
                              for d in ds]
                         )
                         xs["yy"] = jnp.stack(
-                            [plans_banded(mask_yy, ck, d, tri=True)
+                            [plans_banded(mask_yy, ck, d, nJ_f, tri=True)
                              for d in ds]
                         )
                     fns = (
@@ -972,20 +979,22 @@ def sinkhorn_multiscale(
             # one step-banded table for the forward softmins, one
             # apply-banded table (smaller bands — its accumulators carry
             # 1+D channels) for the dual gradient contraction.
-            tblB_xy_l = plans_banded(mask_xy, ck_l, d_last)
+            tblB_xy_l = plans_banded(mask_xy, ck_l, d_last, nJ_f)
             tblA_xy_l = plans_banded(
-                mask_xy, ck_l, d_last, band_tiles=APPLY_BAND_TILES
+                mask_xy, ck_l, d_last, nJ_f, band_tiles=APPLY_BAND_TILES
             )
             if debias:
-                tblB_xx_l = plans_banded(mask_xx, ck_l, d_last, tri=True)
+                tblB_xx_l = plans_banded(mask_xx, ck_l, d_last, nI_f,
+                                         tri=True)
                 tblA_xx_l = plans_banded(
-                    mask_xx, ck_l, d_last, band_tiles=APPLY_BAND_TILES,
-                    tri=True,
+                    mask_xx, ck_l, d_last, nI_f,
+                    band_tiles=APPLY_BAND_TILES, tri=True,
                 )
-                tblB_yy_l = plans_banded(mask_yy, ck_l, d_last, tri=True)
+                tblB_yy_l = plans_banded(mask_yy, ck_l, d_last, nJ_f,
+                                         tri=True)
                 tblA_yy_l = plans_banded(
-                    mask_yy, ck_l, d_last, band_tiles=APPLY_BAND_TILES,
-                    tri=True,
+                    mask_yy, ck_l, d_last, nJ_f,
+                    band_tiles=APPLY_BAND_TILES, tri=True,
                 )
 
             def fused_extrap(eps_last, f_ba_f, g_ab_f, f_aa_f, g_bb_f):

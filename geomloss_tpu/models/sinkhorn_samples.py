@@ -35,6 +35,15 @@ from ..solvers.sinkhorn_loop import log_weights, sinkhorn_cost, sinkhorn_loop
 
 __all__ = ["sinkhorn_tensorized", "sinkhorn_online"]
 
+#: Opt-in switch for the warm-bf16 annealing sweeps below. OFF by
+#: default since round 5: the committed round-4 measurement
+#: (PROFILE_PHASES.jsonl ``dense_pair_step``: exact 69.0 ms vs warm
+#: 70.5 ms at N=1e5) showed the lever is dead on v5e — the split-operand
+#: exact path is MXU-bound at the same throughput, so the bf16 sweeps
+#: were pure approximation risk for zero speedup. The schedule logic and
+#: its tests stay for hardware where plain-bf16 wins.
+WARM_BF16 = False
+
 #: Precision schedule for the online backend's warm annealing sweeps
 #: (p=2, built-in cost): an iteration runs on plain-bf16 MXU scores when
 #: its temperature satisfies ``eps >= WARM_NOISE_FACTOR * noise`` with
@@ -262,7 +271,8 @@ def sinkhorn_online(
     # distances would amplify the noise by 1/(2 d).
     warm_iters = 0
     if (
-        fused_step is not None
+        WARM_BF16
+        and fused_step is not None
         and init_potentials is None
         and p == 2
         and not isinstance(diameter, jnp.ndarray)

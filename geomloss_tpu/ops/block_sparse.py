@@ -448,7 +448,8 @@ MAX_BANDED_ROWS = 512
 
 
 def walk_plan_banded(cols, counts, t_mean, n_col_tiles,
-                     band_tiles=BAND_TILES, tri=False, rows_chunk=None):
+                     band_tiles=BAND_TILES, tri=False, rows_chunk=None,
+                     row_offset=0):
     """Pack a ``(cols, counts)`` table into band-major step lists.
 
     Args:
@@ -463,6 +464,10 @@ def walk_plan_banded(cols, counts, t_mean, n_col_tiles,
             mirrored lower-triangle contributions at half the pair
             visits); diagonal tiles get the no-column bit (28) so their
             intra-tile pairs are not double counted.
+        row_offset: global tile index of row 0 — triangle comparisons
+            use ``row_offset + i`` so a row-sharded slice of a symmetric
+            problem (``parallel/multiscale_sharded.py``) plans the same
+            global triangle as the unsharded table. May be traced.
 
     Returns:
         ``(nc, T_c)`` int32 packed step table, steps ordered by
@@ -488,7 +493,7 @@ def walk_plan_banded(cols, counts, t_mean, n_col_tiles,
     if tri:
         # Compress each row's upper-triangle entries to the front,
         # preserving the score order (key packs (rank, col)):
-        gr = jnp.arange(nIp, dtype=jnp.int32)
+        gr = row_offset + jnp.arange(nIp, dtype=jnp.int32)
         k0 = jnp.arange(cap, dtype=jnp.int32)
         ok = (k0[None, :] < counts[:, None]) & (cols >= gr[:, None])
         key = jnp.where(ok, (k0[None, :] << 13) | cols, jnp.int32(1 << 28))
@@ -533,7 +538,7 @@ def walk_plan_banded(cols, counts, t_mean, n_col_tiles,
     used = band_start[:, -1] + tb[:, -1] + 1
 
     t_idx = jnp.arange(T_c, dtype=jnp.int32)
-    chunk_base = jnp.arange(nc, dtype=jnp.int32) * rows_c
+    chunk_base = row_offset + jnp.arange(nc, dtype=jnp.int32) * rows_c
 
     def per_chunk(band_start_c, tb_c, row_cum_c, hbT_c, row_pre_c, colv_c,
                   used_c, base_c):
@@ -643,22 +648,35 @@ def _pair_walk_banded_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "block", "band_tiles")
+    jax.jit, static_argnames=("p", "block", "band_tiles", "rows_chunk")
 )
 def _absorbed_sum_walk_banded(x, y, phi, psi, eps, tbl, p, block,
-                              band_tiles=BAND_TILES):
+                              band_tiles=BAND_TILES, rows_chunk=None):
     """One banded pass over the kept pairs: absorbed row AND column sums.
 
     Same math and operand folding as :func:`_absorbed_sum_walk`, but the
     band-major traversal of a :func:`walk_plan_banded` table accumulates
     both reduction directions in a single visit of each pair block.
+
+    ``band_tiles`` and ``rows_chunk`` MUST match the values the table was
+    planned with (:func:`walk_plan_banded`): the packed words carry no
+    band tag, so a mismatched band width silently corrupts the column
+    sums. The chunk-count assert below catches ``rows_chunk`` mismatches;
+    band widths are the caller's contract.
     """
     N, D = x.shape
     M, _ = y.shape
     assert N % block == 0 and M % block == 0
     # The whole-chunk row accumulator forces one row tile per grid step
-    # (no sub-blocking): production fine tiles are <= 1536.
-    assert block <= 2048
+    # (no sub-blocking): a (block, block) f32 scores block must fit VMEM
+    # next to the row accumulator and two band buffers, which caps the
+    # tile at 1024 ((2048, 2048) f32 alone is ~16.8 MB > the ~16 MB
+    # budget). Larger tiles take the two-pass walk (callers gate on it).
+    if block > 1024:
+        raise NotImplementedError(
+            f"banded walk supports block <= 1024 (got {block}); use the "
+            "two-pass sinkhorn_step_walk for larger tiles"
+        )
 
     f32 = jnp.float32
     x32, y32 = x.astype(f32), y.astype(f32)
@@ -678,7 +696,14 @@ def _absorbed_sum_walk_banded(x, y, phi, psi, eps, tbl, p, block,
     K = xhT.shape[0]
     nI, nJ = N // block, M // block
     nc, T_c = tbl.shape
-    rows_c = min(_cdiv(nI, 8) * 8, max(8, MAX_BANDED_ROWS))
+    if rows_chunk is None:
+        rows_chunk = MAX_BANDED_ROWS
+    rows_c = min(_cdiv(nI, 8) * 8, max(8, rows_chunk))
+    assert nc == _cdiv(nI, rows_c), (
+        f"table chunking mismatch: {nc} chunks for {nI} row tiles at "
+        f"rows_chunk={rows_chunk} — pass the rows_chunk the plan was "
+        "built with (walk_plan_banded rows_chunk=...)"
+    )
     nb = _cdiv(nJ, band_tiles)
     Mb = nb * band_tiles * block  # column output padded to whole bands
 
@@ -828,23 +853,36 @@ def _apply_walk_banded_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p", "kind", "block", "band_tiles")
+    jax.jit,
+    static_argnames=("p", "kind", "block", "band_tiles", "rows_chunk"),
 )
 def gibbs_apply_walk_banded(
     x, y, phi, psi, Vy, Vx, eps, tbl, p=2, kind="gibbs", block=512,
-    band_tiles=APPLY_BAND_TILES,
+    band_tiles=None, rows_chunk=None,
 ):
     """Dual-direction banded gradient apply: ONE pass over the kept pairs
     returns both ``R_row[i] = sum_j w_ij Vy[j]`` and
     ``R_col[j] = sum_i w_ij Vx[i]`` of the *raw* absorbed weights (no
     per-row/-column normalization folded in — callers divide by the
     forward row/column sums), halving the traversals of the two
-    :func:`gibbs_apply_walk` calls in the extrapolation backward."""
+    :func:`gibbs_apply_walk` calls in the extrapolation backward.
+
+    ``band_tiles``/``rows_chunk`` must match the plan (see
+    :func:`_absorbed_sum_walk_banded`); defaults resolve to the module
+    constants :data:`APPLY_BAND_TILES` / :data:`MAX_APPLY_ROWS` at call
+    time."""
+    if band_tiles is None:
+        band_tiles = APPLY_BAND_TILES
     N, D = x.shape
     M, _ = y.shape
     C = Vy.shape[-1]
     assert Vx.shape[-1] == C
-    assert N % block == 0 and M % block == 0 and block <= 2048
+    assert N % block == 0 and M % block == 0
+    if block > 1024:
+        raise NotImplementedError(
+            f"banded apply supports block <= 1024 (got {block}); use "
+            "gibbs_apply_walk for larger tiles"
+        )
 
     f32 = jnp.float32
     x32, y32 = x.astype(f32), y.astype(f32)
@@ -866,7 +904,14 @@ def gibbs_apply_walk_banded(
     K = xhT.shape[0]
     nI, nJ = N // block, M // block
     nc, T_c = tbl.shape
-    rows_c = min(_cdiv(nI, 8) * 8, max(8, MAX_APPLY_ROWS))
+    if rows_chunk is None:
+        rows_chunk = MAX_APPLY_ROWS
+    rows_c = min(_cdiv(nI, 8) * 8, max(8, rows_chunk))
+    assert nc == _cdiv(nI, rows_c), (
+        f"table chunking mismatch: {nc} chunks for {nI} row tiles at "
+        f"rows_chunk={rows_chunk} — pass the rows_chunk the plan was "
+        "built with (walk_plan_banded rows_chunk=...)"
+    )
     nb = _cdiv(nJ, band_tiles)
     Mb = nb * band_tiles * block
 
@@ -948,14 +993,15 @@ def gibbs_apply_walk_banded(
 
 
 def sinkhorn_step_walk_banded(eps, x, y, a_log, b_log, f, g, tbl, p=2,
-                              block=512, band_tiles=BAND_TILES):
+                              block=512, band_tiles=BAND_TILES,
+                              rows_chunk=None):
     """Single-pass banded analogue of :func:`sinkhorn_step_walk`: both
     softmin directions from one traversal of the kept pairs."""
     eps32 = jnp.asarray(eps, jnp.float32)
     phi = a_log + f / eps32
     psi = b_log + g / eps32
     r, c = _absorbed_sum_walk_banded(
-        x, y, phi, psi, eps32, tbl, p, block, band_tiles
+        x, y, phi, psi, eps32, tbl, p, block, band_tiles, rows_chunk
     )
     S_xy = (f + eps32 * (a_log - jnp.log(r))).astype(f.dtype)
     S_yx = (g + eps32 * (b_log - jnp.log(c))).astype(g.dtype)
@@ -963,7 +1009,7 @@ def sinkhorn_step_walk_banded(eps, x, y, a_log, b_log, f, g, tbl, p=2,
 
 
 def sinkhorn_step_walk_banded_sym(eps, x, a_log, f, tbl, p=2, block=512,
-                                  band_tiles=BAND_TILES):
+                                  band_tiles=BAND_TILES, rows_chunk=None):
     """Symmetric absorbed step over a TRIANGLE banded table
     (``walk_plan_banded(..., tri=True)``): the row direction covers the
     kept ``col >= row`` tiles and the column direction supplies the
@@ -973,7 +1019,7 @@ def sinkhorn_step_walk_banded_sym(eps, x, a_log, f, tbl, p=2, block=512,
     eps32 = jnp.asarray(eps, jnp.float32)
     phi = a_log + f / eps32
     r, c = _absorbed_sum_walk_banded(
-        x, x, phi, phi, eps32, tbl, p, block, band_tiles
+        x, x, phi, phi, eps32, tbl, p, block, band_tiles, rows_chunk
     )
     s = jnp.maximum(r + c, _SUM_FLOOR)
     return (f + eps32 * (a_log - jnp.log(s))).astype(f.dtype)
@@ -2155,32 +2201,56 @@ softmin_extrapolation_walk.defvjp(
 )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _softmin_extrap_walk_banded_p(
+    x, y, f, g, loga, logb, eps, tblB, tblA, p, block, band_tiles,
+    apply_band_tiles,
+):
+    return sinkhorn_step_walk_banded(
+        eps, x, y, loga, logb, f, g, tblB, p=p, block=block,
+        band_tiles=band_tiles,
+    )
+
+
 def softmin_extrapolation_walk_banded(
-    x, y, f, g, loga, logb, eps, tblB, tblA, p, block
+    x, y, f, g, loga, logb, eps, tblB, tblA, p, block,
+    band_tiles=BAND_TILES, apply_band_tiles=None,
 ):
     """Banded twin of :func:`softmin_extrapolation_walk`: the forward
     computes both directions in ONE pass over the kept pairs
     (:func:`sinkhorn_step_walk_banded`); the backward computes BOTH
-    gradient contractions in one dual-direction pass over ``tblA`` (an
-    :data:`APPLY_BAND_TILES`-banded plan of the same pair set)."""
-    return sinkhorn_step_walk_banded(
-        eps, x, y, loga, logb, f, g, tblB, p=p, block=block
+    gradient contractions in one dual-direction pass over ``tblA``.
+
+    ``band_tiles`` must match ``tblB``'s plan and ``apply_band_tiles``
+    (default: the module constant :data:`APPLY_BAND_TILES`, resolved at
+    call time) must match ``tblA``'s — the packed tables carry no band
+    tag, and a mismatched width silently corrupts the column direction.
+    ``tblA`` must additionally be planned at
+    ``rows_chunk=MAX_APPLY_ROWS`` (the apply kernel's chunking), which
+    the launcher's chunk-count assert enforces."""
+    if apply_band_tiles is None:
+        apply_band_tiles = APPLY_BAND_TILES
+    return _softmin_extrap_walk_banded_p(
+        x, y, f, g, loga, logb, eps, tblB, tblA, p, block, band_tiles,
+        apply_band_tiles,
     )
 
 
 def _softmin_extrap_walk_banded_fwd(
-    x, y, f, g, loga, logb, eps, tblB, tblA, p, block
+    x, y, f, g, loga, logb, eps, tblB, tblA, p, block, band_tiles,
+    apply_band_tiles,
 ):
     S_xy, S_yx = sinkhorn_step_walk_banded(
-        eps, x, y, loga, logb, f, g, tblB, p=p, block=block
+        eps, x, y, loga, logb, f, g, tblB, p=p, block=block,
+        band_tiles=band_tiles,
     )
     return (S_xy, S_yx), (
         x, y, f, g, loga, logb, eps, tblA, S_xy, S_yx
     )
 
 
-def _softmin_extrap_walk_banded_bwd(p, block, res, us):
+def _softmin_extrap_walk_banded_bwd(p, block, band_tiles, apply_band_tiles,
+                                    res, us):
     x, y, f, g, loga, logb, eps, tblA, S_xy, S_yx = res
     u_f, u_g = us
     eps32 = jnp.asarray(eps, jnp.float32)
@@ -2202,7 +2272,7 @@ def _softmin_extrap_walk_banded_bwd(p, block, res, us):
         kind = "gibbs_grad"
     Rr, Rc = gibbs_apply_walk_banded(
         x, y, phi, psi, Vy, Vx, eps32, tblA, p=p, kind=kind, block=block,
-        band_tiles=APPLY_BAND_TILES,
+        band_tiles=apply_band_tiles,
     )
     r = jnp.maximum(jnp.exp(loga + (f - S_xy) / eps32), _SUM_FLOOR)
     c = jnp.maximum(jnp.exp(logb + (g - S_yx) / eps32), _SUM_FLOOR)
@@ -2224,7 +2294,7 @@ def _softmin_extrap_walk_banded_bwd(p, block, res, us):
     )
 
 
-softmin_extrapolation_walk_banded.defvjp(
+_softmin_extrap_walk_banded_p.defvjp(
     _softmin_extrap_walk_banded_fwd, _softmin_extrap_walk_banded_bwd
 )
 
@@ -2262,27 +2332,43 @@ softmin_extrapolation_walk_sym.defvjp(
 )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _softmin_extrap_walk_banded_sym_p(
+    x, f, loga, eps, tblB, tblA, p, block, band_tiles, apply_band_tiles
+):
+    return sinkhorn_step_walk_banded_sym(
+        eps, x, loga, f, tblB, p=p, block=block, band_tiles=band_tiles
+    )
+
+
 def softmin_extrapolation_walk_banded_sym(
-    x, f, loga, eps, tblB, tblA, p, block
+    x, f, loga, eps, tblB, tblA, p, block, band_tiles=BAND_TILES,
+    apply_band_tiles=None,
 ):
     """Triangle-banded twin of :func:`softmin_extrapolation_walk_sym`:
     half the pair visits in both the forward (mirrored column sums) and
-    the backward (dual apply on ``tblA``, mirrored contractions)."""
-    return sinkhorn_step_walk_banded_sym(
-        eps, x, loga, f, tblB, p=p, block=block
+    the backward (dual apply on ``tblA``, mirrored contractions).
+
+    Band widths must match the plans — see
+    :func:`softmin_extrapolation_walk_banded`."""
+    if apply_band_tiles is None:
+        apply_band_tiles = APPLY_BAND_TILES
+    return _softmin_extrap_walk_banded_sym_p(
+        x, f, loga, eps, tblB, tblA, p, block, band_tiles, apply_band_tiles
     )
 
 
 def _softmin_extrap_walk_banded_sym_fwd(x, f, loga, eps, tblB, tblA, p,
-                                        block):
+                                        block, band_tiles,
+                                        apply_band_tiles):
     S = sinkhorn_step_walk_banded_sym(
-        eps, x, loga, f, tblB, p=p, block=block
+        eps, x, loga, f, tblB, p=p, block=block, band_tiles=band_tiles
     )
     return S, (x, f, loga, eps, tblA, S)
 
 
-def _softmin_extrap_walk_banded_sym_bwd(p, block, res, u):
+def _softmin_extrap_walk_banded_sym_bwd(p, block, band_tiles,
+                                        apply_band_tiles, res, u):
     x, f, loga, eps, tblA, S = res
     eps32 = jnp.asarray(eps, jnp.float32)
     f32 = jnp.float32
@@ -2295,7 +2381,7 @@ def _softmin_extrap_walk_banded_sym_bwd(p, block, res, u):
         kind = "gibbs_grad"
     Rr, Rc = gibbs_apply_walk_banded(
         x, x, phi, phi, V, V, eps32, tblA, p=p, kind=kind, block=block,
-        band_tiles=APPLY_BAND_TILES,
+        band_tiles=apply_band_tiles,
     )
     R = Rr + Rc  # upper-triangle rows + mirrored lower-triangle columns
     s = jnp.maximum(jnp.exp(loga + (f - S) / eps32), _SUM_FLOOR)
@@ -2313,7 +2399,7 @@ def _softmin_extrap_walk_banded_sym_bwd(p, block, res, u):
     )
 
 
-softmin_extrapolation_walk_banded_sym.defvjp(
+_softmin_extrap_walk_banded_sym_p.defvjp(
     _softmin_extrap_walk_banded_sym_fwd, _softmin_extrap_walk_banded_sym_bwd
 )
 

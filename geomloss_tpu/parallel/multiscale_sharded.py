@@ -1,35 +1,44 @@
 r"""Multi-chip multiscale Sinkhorn: row-sharded truncated fine phase.
 
 The reference's multiscale backend is single-GPU (SURVEY §2.3); this is
-its TPU-pod scale-out. The structure exploits two facts about the fused
-absorbed step (``ops/block_sparse.py``):
+its TPU-pod scale-out. Since round 5 the fine phase runs the SAME banded
+dual-direction walk kernels as the single-device backend
+(``ops/block_sparse.py``), sharded by rows:
 
-1. **Both softmin directions are row reductions** over their own tile
-   tables (``cols`` for x-rows, ``colsT`` for y-rows) — so sharding the
-   *rows* of both clouds across a 1D mesh makes every sparse sweep
-   device-local, provided each device also holds a replicated copy of
-   the opposite cloud (a ``(N, 3)`` f32 cloud is 12 MB at N=1e6 —
-   trivially replicable; the ``O(N^2)``-equivalent sweep work is what
-   gets divided by the mesh size).
-2. **The only cross-device dependency per iteration is the opposite
-   potential vector** (the softmin bias): one ``all_gather`` of a
-   ``(N/R,)`` f32 shard per direction per iteration — a few MB over ICI
-   against tens of ms of sweep compute.
+1. **One banded traversal per iteration per problem**: each shard walks
+   its local row tiles' kept pairs once, producing the row-direction
+   softmin locally plus a *partial* column-direction sum over the full
+   opposite cloud; a ``psum_scatter`` over the mesh axis turns the
+   partials into each shard's slice of the column direction. The
+   opposite cloud is replicated (a ``(N, 3)`` f32 cloud is 12 MB at
+   N=1e6 — trivially replicable; the ``O(N^2)``-equivalent sweep work is
+   what gets divided by the mesh size).
+2. **Cross-device traffic per iteration**: one ``all_gather`` of the
+   opposite potential shard (softmin bias) plus one ``reduce_scatter``
+   of the column partials per problem — a few MB over ICI against tens
+   of ms of sweep compute.
+
+Symmetric (debias) problems use the TRIANGLE banded tables
+(``walk_plan_banded(..., tri=True, row_offset=shard_row_offset)``): the
+union of the shards' local triangles is exactly the global triangle, so
+the reduce-scattered mirror contributions reproduce the single-device
+pair set — and with the pair SET and kernels shared, the two backends
+agree to float noise (``tests/test_multiscale_sharded.py``).
 
 The cheap phases (spatial sort, coarse solve on ~10^3 block centroids,
 extrapolation, truncation-mask construction) run replicated — they are
 O(N) or O(K^2) with small constants, so there is nothing to win by
 sharding them. Gradients use the same envelope shortcut as the
 single-device backend: the whole descent is detached, and the last
-extrapolation is differentiable through
-:func:`~geomloss_tpu.ops.block_sparse.softmin_extrapolation_sparse_dir`
-— whose detached-cost convention (gradient to the row cloud only) means
-no cross-device cotangents exist at all.
+extrapolation is differentiable through the sharded custom-VJP twins
+:func:`_extrap_banded_xy_shard` / :func:`_extrap_banded_sym_shard`,
+whose backward runs the dual banded gradient apply per shard and
+reduce-scatters the column-direction contraction.
 
 Semantics match ``models/multiscale.py::sinkhorn_multiscale`` (same
-schedule, jump rule, truncation scores, per-eps re-thresholded counts
-and static cap slicing), and so does single-chip performance: 1.17 s
-loss+grad at N=1e6 on a mesh of one — multi-chip is pure scale-out.
+schedule, jump rule, truncation scores, per-eps re-thresholded counts,
+static cap slicing, and — since round 5 — the same kept-pair planner and
+kernels), so multi-chip is pure scale-out.
 """
 
 from functools import partial
@@ -54,12 +63,16 @@ from ..models.multiscale import (
     spatial_sort_blocks,
 )
 from ..ops.block_sparse import (
-    _absorbed_sum,
+    _SUM_FLOOR,
+    APPLY_BAND_TILES,
+    MAX_APPLY_ROWS,
+    _absorbed_sum_walk_banded,
     build_tile_masks,
+    gibbs_apply_walk_banded,
     masks_from_coarse,
     retighten_counts,
     softmin_extrap_truncated,
-    softmin_extrapolation_sparse_dir,
+    walk_plan_banded,
 )
 from ..ops.softmin import softmin_points
 from ..solvers.annealing import dampening, scaling_parameters
@@ -67,6 +80,208 @@ from ..solvers.sinkhorn_loop import log_weights, sinkhorn_cost
 from .ring import points_mesh
 
 __all__ = ["sinkhorn_multiscale_sharded"]
+
+
+# ==============================================================================
+#  Shard-aware banded walk steps (round 5)
+# ==============================================================================
+#
+# The fine phase shares the single-device backend's banded dual-direction
+# kernels (``ops/block_sparse.py``): each shard traverses its LOCAL row
+# tiles' kept pairs once, producing the row-direction softmin locally and
+# a partial column-direction sum over the FULL opposite cloud; a
+# ``psum_scatter`` over the mesh axis turns the partials into each
+# shard's slice of the column direction. One traversal per iteration
+# replaces the old two-table (cols/colsT) sweep pair, and — because the
+# kept-pair SET is now selected by the same planner as the single-device
+# backend (``walk_plan_banded``, triangle tables for the symmetric
+# debias problems) — the two backends agree to float noise instead of
+# diverging where per-row top-``cap`` clipping is asymmetric
+# (tests/test_multiscale_sharded.py pins this at rtol 1e-4).
+
+
+def _step_banded_xy_shard(eps, x_l, y_f, loga_l, logb_l, logb_f, f_l, g_l,
+                          g_f, tbl, p, block, axis):
+    """One absorbed symmetric-update step of the sharded xy problem:
+    local-row softmin ``S_xy`` and this shard's slice of the
+    column-direction softmin ``S_yx`` from ONE banded traversal of the
+    local kept pairs (+ one reduce-scatter)."""
+    eps32 = jnp.asarray(eps, jnp.float32)
+    phi = loga_l + f_l / eps32
+    psi = logb_f + g_f / eps32
+    r, c_part = _absorbed_sum_walk_banded(
+        x_l, y_f, phi, psi, eps32, tbl, p, block
+    )
+    c = jnp.maximum(
+        lax.psum_scatter(c_part, axis, scatter_dimension=0, tiled=True),
+        _SUM_FLOOR,
+    )
+    S_xy = (f_l + eps32 * (loga_l - jnp.log(r))).astype(f_l.dtype)
+    S_yx = (g_l + eps32 * (logb_l - jnp.log(c))).astype(g_l.dtype)
+    return S_xy, S_yx
+
+
+def _step_banded_sym_shard(eps, x_l, x_f, loga_l, loga_f, f_l, f_f, tbl,
+                           p, block, axis):
+    """Symmetric absorbed step over this shard's slice of a TRIANGLE
+    banded table (``walk_plan_banded(..., tri=True, row_offset=...)``):
+    the row direction covers the local kept ``col >= row`` tiles, the
+    reduce-scattered column partials supply the mirrored lower-triangle
+    contributions from every shard."""
+    eps32 = jnp.asarray(eps, jnp.float32)
+    phi_l = loga_l + f_l / eps32
+    phi_f = loga_f + f_f / eps32
+    r, c_part = _absorbed_sum_walk_banded(
+        x_l, x_f, phi_l, phi_f, eps32, tbl, p, block
+    )
+    c = lax.psum_scatter(c_part, axis, scatter_dimension=0, tiled=True)
+    s = jnp.maximum(r + c, _SUM_FLOOR)
+    return (f_l + eps32 * (loga_l - jnp.log(s))).astype(f_l.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def _extrap_banded_xy_shard(
+    x_l, y_l, y_f, f_l, g_l, g_f, loga_l, logb_l, logb_f, eps, tblB, tblA,
+    p, block, axis,
+):
+    """Sharded twin of ``softmin_extrapolation_walk_banded``: the forward
+    is :func:`_step_banded_xy_shard`; the backward runs the dual banded
+    gradient apply on the local rows and reduce-scatters the
+    column-direction contraction, so both envelope gradients (to the
+    local ``x_l`` and ``y_l`` slices) come from one traversal per shard.
+
+    ``y_f``/``g_f``/``logb_f`` are the detached all-gathered full-cloud
+    operands; ``y_l`` is the differentiable local slice (the
+    column-direction gradient is returned on it directly — no gather
+    transpose). ``tblA`` must be planned at ``band_tiles =
+    APPLY_BAND_TILES, rows_chunk = MAX_APPLY_ROWS``."""
+    return _step_banded_xy_shard(
+        eps, x_l, y_f, loga_l, logb_l, logb_f, f_l, g_l, g_f, tblB, p,
+        block, axis,
+    )
+
+
+def _extrap_banded_xy_shard_fwd(
+    x_l, y_l, y_f, f_l, g_l, g_f, loga_l, logb_l, logb_f, eps, tblB, tblA,
+    p, block, axis,
+):
+    S_xy, S_yx = _step_banded_xy_shard(
+        eps, x_l, y_f, loga_l, logb_l, logb_f, f_l, g_l, g_f, tblB, p,
+        block, axis,
+    )
+    return (S_xy, S_yx), (
+        x_l, y_l, y_f, f_l, g_l, g_f, loga_l, logb_l, logb_f, eps, tblA,
+        S_xy, S_yx,
+    )
+
+
+def _extrap_banded_xy_shard_bwd(p, block, axis, res, us):
+    (x_l, y_l, y_f, f_l, g_l, g_f, loga_l, logb_l, logb_f, eps, tblA,
+     S_xy, S_yx) = res
+    u_f, u_g = us
+    eps32 = jnp.asarray(eps, jnp.float32)
+    f32 = jnp.float32
+    x32, y32 = x_l.astype(f32), y_l.astype(f32)
+    phi = loga_l + f_l / eps32
+    psi = logb_f + g_f / eps32
+    if p == 2:
+        Vy, Vx, kind = y_f.astype(f32), x32, "gibbs"
+    else:
+        Vy = jnp.concatenate(
+            [jnp.ones((y_f.shape[0], 1), f32), y_f.astype(f32)], axis=-1
+        )
+        Vx = jnp.concatenate(
+            [jnp.ones((x_l.shape[0], 1), f32), x32], axis=-1
+        )
+        kind = "gibbs_grad"
+    Rr, Rc_part = gibbs_apply_walk_banded(
+        x_l, y_f, phi, psi, Vy, Vx, eps32, tblA, p=p, kind=kind,
+        block=block,
+    )
+    Rc = lax.psum_scatter(Rc_part, axis, scatter_dimension=0, tiled=True)
+    r = jnp.maximum(jnp.exp(loga_l + (f_l - S_xy) / eps32), _SUM_FLOOR)
+    c = jnp.maximum(jnp.exp(logb_l + (g_l - S_yx) / eps32), _SUM_FLOOR)
+    if p == 2:
+        dx = u_f[:, None] * (x32 - Rr / r[:, None])
+        dy = u_g[:, None] * (y32 - Rc / c[:, None])
+    else:
+        dx = u_f[:, None] * (x32 * (Rr[:, :1] / r[:, None])
+                             - Rr[:, 1:] / r[:, None])
+        dy = u_g[:, None] * (y32 * (Rc[:, :1] / c[:, None])
+                             - Rc[:, 1:] / c[:, None])
+    z = jnp.zeros_like
+    return (
+        dx.astype(x_l.dtype), dy.astype(y_l.dtype), z(y_f),
+        z(f_l), z(g_l), z(g_f), z(loga_l), z(logb_l), z(logb_f),
+        jnp.zeros_like(jnp.asarray(eps)), None, None,
+    )
+
+
+_extrap_banded_xy_shard.defvjp(
+    _extrap_banded_xy_shard_fwd, _extrap_banded_xy_shard_bwd
+)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _extrap_banded_sym_shard(
+    x_l, x_f, f_l, f_f, loga_l, loga_f, eps, tblB, tblA, p, block, axis
+):
+    """Sharded twin of ``softmin_extrapolation_walk_banded_sym``
+    (triangle tables, mirrored column partials reduce-scattered across
+    shards in both the forward and the backward)."""
+    return _step_banded_sym_shard(
+        eps, x_l, x_f, loga_l, loga_f, f_l, f_f, tblB, p, block, axis
+    )
+
+
+def _extrap_banded_sym_shard_fwd(
+    x_l, x_f, f_l, f_f, loga_l, loga_f, eps, tblB, tblA, p, block, axis
+):
+    S = _step_banded_sym_shard(
+        eps, x_l, x_f, loga_l, loga_f, f_l, f_f, tblB, p, block, axis
+    )
+    return S, (x_l, x_f, f_l, f_f, loga_l, loga_f, eps, tblA, S)
+
+
+def _extrap_banded_sym_shard_bwd(p, block, axis, res, u):
+    x_l, x_f, f_l, f_f, loga_l, loga_f, eps, tblA, S = res
+    eps32 = jnp.asarray(eps, jnp.float32)
+    f32 = jnp.float32
+    x32 = x_l.astype(f32)
+    phi_l = loga_l + f_l / eps32
+    phi_f = loga_f + f_f / eps32
+    if p == 2:
+        V_l, V_f, kind = x32, x_f.astype(f32), "gibbs"
+    else:
+        V_l = jnp.concatenate(
+            [jnp.ones((x_l.shape[0], 1), f32), x32], axis=-1
+        )
+        V_f = jnp.concatenate(
+            [jnp.ones((x_f.shape[0], 1), f32), x_f.astype(f32)], axis=-1
+        )
+        kind = "gibbs_grad"
+    Rr, Rc_part = gibbs_apply_walk_banded(
+        x_l, x_f, phi_l, phi_f, V_f, V_l, eps32, tblA, p=p, kind=kind,
+        block=block,
+    )
+    Rc = lax.psum_scatter(Rc_part, axis, scatter_dimension=0, tiled=True)
+    R = Rr + Rc  # local upper-triangle rows + mirrored columns (all shards)
+    s = jnp.maximum(jnp.exp(loga_l + (f_l - S) / eps32), _SUM_FLOOR)
+    if p == 2:
+        dx = u[:, None] * (x32 - R / s[:, None])
+    else:
+        dx = u[:, None] * (x32 * (R[:, :1] / s[:, None])
+                           - R[:, 1:] / s[:, None])
+    z = jnp.zeros_like
+    return (
+        dx.astype(x_l.dtype), z(x_f), z(f_l), z(f_f), z(loga_l),
+        z(loga_f), jnp.zeros_like(jnp.asarray(eps)), None, None,
+    )
+
+
+_extrap_banded_sym_shard.defvjp(
+    _extrap_banded_sym_shard_fwd, _extrap_banded_sym_shard_bwd
+)
 
 
 def sinkhorn_multiscale_sharded(
@@ -342,7 +557,7 @@ def sinkhorn_multiscale_sharded(
     def fine(
         x_l, y_l, x_f, y_f, al_l, bl_l, al_f, bl_f,
         f_l, g_l, faa_l, gbb_l,
-        cols_l, counts_l, vals_l, colsT_l, countsT_l, valsT_l,
+        cols_l, vals_l,
         cxx_l, vxx_l, cyy_l, vyy_l,
         a_l, b_l,
     ):
@@ -352,88 +567,110 @@ def sinkhorn_multiscale_sharded(
         def gather(v):
             return lax.all_gather(v, axis, tiled=True)
 
+        # Global column-tile counts and this shard's global row-tile
+        # offsets (the triangle plans compare global indices):
+        nI_t = x_f.shape[0] // tile
+        nJ_t = y_f.shape[0] // tile
+        idx = lax.axis_index(axis)
+        off_x = idx * (x_l.shape[0] // tile)
+        off_y = idx * (y_l.shape[0] // tile)
+
+        def plans(cols, vals, ck, d, n_col, tri=False, off=0,
+                  apply_plan=False):
+            # Same kept-set rule as the single-device backend
+            # (models/multiscale.py::plans_banded): full-cap step budget
+            # (no data-dependent clip), per-eps retightened counts.
+            cnt = jnp.minimum(retighten_counts(vals, d), ck)
+            kw = {}
+            if apply_plan:
+                kw = {"band_tiles": APPLY_BAND_TILES,
+                      "rows_chunk": MAX_APPLY_ROWS}
+            return walk_plan_banded(
+                cols[:, :ck], cnt, ck, n_col, tri=tri, row_offset=off,
+                **kw,
+            )
+
         carry = (f_l, g_l, faa_l, gbb_l)
         for ck, es in groups:
-            cols_k, vals_k = cols_l[:, :ck], vals_l[:, :ck]
-            colsT_k, valsT_k = colsT_l[:, :ck], valsT_l[:, :ck]
-            cxx_k, vxx_k = cxx_l[:, :ck], vxx_l[:, :ck]
-            cyy_k, vyy_k = cyy_l[:, :ck], vyy_l[:, :ck]
+            ds = [truncate * (e - eps_m) for e in es]
+            xs = {
+                "e": stacks(es),
+                "xy": jnp.stack(
+                    [plans(cols_l, vals_l, ck, d, nJ_t) for d in ds]
+                ),
+            }
+            if debias:
+                xs["xx"] = jnp.stack(
+                    [plans(cxx_l, vxx_l, ck, d, nI_t, tri=True, off=off_x)
+                     for d in ds]
+                )
+                xs["yy"] = jnp.stack(
+                    [plans(cyy_l, vyy_l, ck, d, nJ_t, tri=True, off=off_y)
+                     for d in ds]
+                )
 
-            def body(carry, inp, cols_k=cols_k, vals_k=vals_k,
-                     colsT_k=colsT_k, valsT_k=valsT_k, cxx_k=cxx_k,
-                     vxx_k=vxx_k, cyy_k=cyy_k, vyy_k=vyy_k):
-                e, damp, delta = inp
+            def body(carry, inp):
+                e, damp, _ = inp["e"]
                 f_l, g_l, faa_l, gbb_l = carry
                 f_f, g_f = gather(f_l), gather(g_l)
-                cnt = jnp.minimum(retighten_counts(vals_k, delta), counts_l)
-                r = _absorbed_sum(
-                    x_ld, y_fd, al_l + f_l / e, bl_f + g_f / e, e,
-                    cols_k, cnt, p, tile,
+                S_xy, S_yx = _step_banded_xy_shard(
+                    e, x_ld, y_fd, al_l, bl_l, bl_f, f_l, g_l, g_f,
+                    inp["xy"], p, tile, axis,
                 )
-                S_xy = f_l + e * (al_l - jnp.log(r))
-                cntT = jnp.minimum(
-                    retighten_counts(valsT_k, delta), countsT_l
-                )
-                c = _absorbed_sum(
-                    y_ld, x_fd, bl_l + g_l / e, al_f + f_f / e, e,
-                    colsT_k, cntT, p, tile,
-                )
-                S_yx = g_l + e * (bl_l - jnp.log(c))
                 f_n = 0.5 * (f_l + damp * S_xy)
                 g_n = 0.5 * (g_l + damp * S_yx)
                 if debias:
                     faa_f, gbb_f = gather(faa_l), gather(gbb_l)
-                    cxx_cnt = retighten_counts(vxx_k, delta)
-                    rxx = _absorbed_sum(
-                        x_ld, x_fd, al_l + faa_l / e, al_f + faa_f / e, e,
-                        cxx_k, cxx_cnt, p, tile,
+                    S_xx = _step_banded_sym_shard(
+                        e, x_ld, x_fd, al_l, al_f, faa_l, faa_f,
+                        inp["xx"], p, tile, axis,
                     )
-                    S_xx = faa_l + e * (al_l - jnp.log(rxx))
-                    cyy_cnt = retighten_counts(vyy_k, delta)
-                    ryy = _absorbed_sum(
-                        y_ld, y_fd, bl_l + gbb_l / e, bl_f + gbb_f / e, e,
-                        cyy_k, cyy_cnt, p, tile,
+                    S_yy = _step_banded_sym_shard(
+                        e, y_ld, y_fd, bl_l, bl_f, gbb_l, gbb_f,
+                        inp["yy"], p, tile, axis,
                     )
-                    S_yy = gbb_l + e * (bl_l - jnp.log(ryy))
                     faa_n = 0.5 * (faa_l + damp * S_xx)
                     gbb_n = 0.5 * (gbb_l + damp * S_yy)
                 else:
                     faa_n, gbb_n = faa_l, gbb_l
                 return (f_n, g_n, faa_n, gbb_n), None
 
-            carry, _ = lax.scan(body, carry, stacks(es))
+            carry, _ = lax.scan(body, carry, xs)
         f_l, g_l, faa_l, gbb_l = carry
 
         # --- Differentiable last extrapolation (envelope gradient) --------
+        # Banded single passes in BOTH directions of both the forward and
+        # the backward, like the single-device backend: one step-banded
+        # table, one apply-banded table (smaller bands) per problem.
         ck = cap_last
         f_l, g_l = sg(f_l), sg(g_l)
-        f_f, g_f = gather(f_l), gather(g_l)
-        cnt = jnp.minimum(retighten_counts(vals_l[:, :ck], d_last), counts_l)
-        cntT = jnp.minimum(
-            retighten_counts(valsT_l[:, :ck], d_last), countsT_l
-        )
-        S_xy = softmin_extrapolation_sparse_dir(
-            x_l, y_fd, f_l, g_f, al_l, bl_f, eps_last, cols_l[:, :ck],
-            cnt, p, tile,
-        )
-        S_yx = softmin_extrapolation_sparse_dir(
-            y_l, x_fd, g_l, f_f, bl_l, al_f, eps_last, colsT_l[:, :ck],
-            cntT, p, tile,
+        g_f = gather(g_l)
+        tblB_xy = plans(cols_l, vals_l, ck, d_last, nJ_t)
+        tblA_xy = plans(cols_l, vals_l, ck, d_last, nJ_t, apply_plan=True)
+        S_xy, S_yx = _extrap_banded_xy_shard(
+            x_l, y_l, y_fd, f_l, g_l, g_f, al_l, bl_l, bl_f, eps_last,
+            tblB_xy, tblA_xy, p, tile, axis,
         )
         f_ba = damp_last * S_xy
         g_ab = damp_last * S_yx
         if debias:
             faa_l, gbb_l = sg(faa_l), sg(gbb_l)
             faa_f, gbb_f = gather(faa_l), gather(gbb_l)
-            cxx_cnt = retighten_counts(vxx_l[:, :ck], d_last)
-            cyy_cnt = retighten_counts(vyy_l[:, :ck], d_last)
-            S_xx = softmin_extrapolation_sparse_dir(
+            tblB_xx = plans(cxx_l, vxx_l, ck, d_last, nI_t, tri=True,
+                            off=off_x)
+            tblA_xx = plans(cxx_l, vxx_l, ck, d_last, nI_t, tri=True,
+                            off=off_x, apply_plan=True)
+            tblB_yy = plans(cyy_l, vyy_l, ck, d_last, nJ_t, tri=True,
+                            off=off_y)
+            tblA_yy = plans(cyy_l, vyy_l, ck, d_last, nJ_t, tri=True,
+                            off=off_y, apply_plan=True)
+            S_xx = _extrap_banded_sym_shard(
                 x_l, x_fd, faa_l, faa_f, al_l, al_f, eps_last,
-                cxx_l[:, :ck], cxx_cnt, p, tile,
+                tblB_xx, tblA_xx, p, tile, axis,
             )
-            S_yy = softmin_extrapolation_sparse_dir(
+            S_yy = _extrap_banded_sym_shard(
                 y_l, y_fd, gbb_l, gbb_f, bl_l, bl_f, eps_last,
-                cyy_l[:, :ck], cyy_cnt, p, tile,
+                tblB_yy, tblA_yy, p, tile, axis,
             )
             f_aa = damp_last * S_xx
             g_bb = damp_last * S_yy
@@ -466,7 +703,7 @@ def sinkhorn_multiscale_sharded(
         sh2, sh2, rep2, rep2,  # x_l, y_l, x_f, y_f
         sh1, sh1, rep1, rep1,  # a_log shards + full
         sh1, sh1, sh1, sh1,    # f, g, f_aa, g_bb
-        sh2, sh1, sh2, sh2, sh1, sh2,  # xy tables (cols, counts, vals) x2
+        sh2, sh2,              # xy table (cols, vals)
         sh2, sh2, sh2, sh2,    # xx / yy tables (cols, vals) x2
         sh1, sh1,              # a_s, b_s shards
     )
@@ -481,16 +718,20 @@ def sinkhorn_multiscale_sharded(
     # temporary workaround pass check_vma=False". Every output here is
     # shard-local by construction (row-sharded tables in, row-sharded
     # potentials out); the parity tests below pin the semantics.
-    fn = jax.shard_map(
+    # jit the whole sharded fine phase: since round 5 the body builds the
+    # banded step tables inside (dozens of small ops per temperature) —
+    # eager shard_map would dispatch each as its own SPMD program, with
+    # multi-device launch overhead per op. Under an outer jit this inner
+    # jit inlines; eager callers get one compile per shape.
+    fn = jax.jit(jax.shard_map(
         fine, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
-    )
+    ))
     out = fn(
         x_s, y_s, x_s, y_s,
         a_log_f, b_log_f, a_log_f, b_log_f,
         f_ba_f, g_ab_f, f_aa_f, g_bb_f,
-        mask_xy.cols, mask_xy.counts, mask_xy.vals,
-        mask_xy.colsT, mask_xy.countsT, mask_xy.valsT,
+        mask_xy.cols, mask_xy.vals,
         mask_xx.cols, mask_xx.vals, mask_yy.cols, mask_yy.vals,
         a_s, b_s,
     )

@@ -149,7 +149,8 @@ def test_banded_extrapolation_grad_matches_two_pass(p, monkeypatch):
 
     def loss_banded(xx, yy):
         S, T = bs.softmin_extrapolation_walk_banded(
-            xx, yy, f, g, a_log, b_log, eps, tblB, tblA, p, block
+            xx, yy, f, g, a_log, b_log, eps, tblB, tblA, p, block,
+            band_tiles=4, apply_band_tiles=2,
         )
         return (a * S).sum() + (b * T).sum()
 
@@ -207,7 +208,8 @@ def test_triangle_sym_matches_full_walk(p, monkeypatch):
 
     def loss_banded(xx):
         S = bs.softmin_extrapolation_walk_banded_sym(
-            xx, f, a_log, eps, tblB, tblA, p, block
+            xx, f, a_log, eps, tblB, tblA, p, block,
+            band_tiles=4, apply_band_tiles=2,
         )
         return (a * S).sum()
 

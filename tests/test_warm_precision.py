@@ -73,6 +73,9 @@ def test_warm_step_sym_noise_bound():
 
 def _online_loss(x, y, monkeypatch, *, noise_factor, exact_tail, n):
     a = jnp.ones((1, n), jnp.float32) / n
+    # The warm-bf16 schedule is opt-in since round 5 (measured dead on
+    # v5e); these tests exercise the opt-in path.
+    monkeypatch.setattr(ss, "WARM_BF16", True)
     monkeypatch.setattr(ss, "WARM_NOISE_FACTOR", noise_factor)
     monkeypatch.setattr(ss, "WARM_EXACT_TAIL", exact_tail)
     out = ss.sinkhorn_online(
@@ -110,7 +113,7 @@ def test_warm_prefix_full_solve_accuracy(monkeypatch):
 
 
 def test_warm_iters_selected_at_bench_config(monkeypatch):
-    """The production heuristic actually schedules warm iterations at the
+    """The (opt-in) heuristic actually schedules warm iterations at the
     benchmark configuration (and respects the exact tail)."""
     seen = {}
     real_loop = ss.sinkhorn_loop
@@ -120,6 +123,7 @@ def test_warm_iters_selected_at_bench_config(monkeypatch):
         seen["n_eps"] = len(args[7])
         return real_loop(*args, **kwargs)
 
+    monkeypatch.setattr(ss, "WARM_BF16", True)
     monkeypatch.setattr(ss, "sinkhorn_loop", spy_loop)
     n = 128
     x = _cloud(n, 3, 5)
@@ -130,3 +134,25 @@ def test_warm_iters_selected_at_bench_config(monkeypatch):
     )
     assert seen["warm_iters"] > 0
     assert seen["warm_iters"] <= seen["n_eps"] - ss.WARM_EXACT_TAIL
+
+
+def test_warm_bf16_off_by_default(monkeypatch):
+    """Production default carries no bf16 approximation: warm_iters = 0
+    unless WARM_BF16 is opted into (round-4 measurement: exact and warm
+    sweeps run at the same speed on v5e, PROFILE_PHASES dense_pair_step)."""
+    seen = {}
+    real_loop = ss.sinkhorn_loop
+
+    def spy_loop(*args, **kwargs):
+        seen["warm_iters"] = kwargs.get("warm_iters", 0)
+        return real_loop(*args, **kwargs)
+
+    monkeypatch.setattr(ss, "sinkhorn_loop", spy_loop)
+    n = 128
+    x = _cloud(n, 3, 6)
+    a = jnp.ones((1, n), jnp.float32) / n
+    ss.sinkhorn_online(
+        a, x[None], a, x[None] + 0.1, p=2, blur=0.05, diameter=2.0,
+        scaling=0.5, impl="pallas",
+    )
+    assert seen["warm_iters"] == 0

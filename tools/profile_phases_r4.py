@@ -200,9 +200,10 @@ def main():
     ck = min(cap0, max(24, -(-int(np.ceil(cap0 * e_last / eps_j)) // 8) * 8))
     d = 5 * (e_last - eps_j)
     cnt = jnp.minimum(bs.retighten_counts(mask_xy.vals, d), ck)
-    tbB = bs.walk_plan_banded(mask_xy.cols[:, :ck], cnt, t_mean_of(ck), nJ_f)
-    tbA = bs.walk_plan_banded(mask_xy.cols[:, :ck], cnt, t_mean_of(ck), nJ_f,
-                              band_tiles=bs.APPLY_BAND_TILES)
+    tbB = bs.walk_plan_banded(mask_xy.cols[:, :ck], cnt, ck, nJ_f)
+    tbA = bs.walk_plan_banded(mask_xy.cols[:, :ck], cnt, ck, nJ_f,
+                              band_tiles=bs.APPLY_BAND_TILES,
+                              rows_chunk=bs.MAX_APPLY_ROWS)
     ex_fn = jax.jit(lambda f, g: bs.softmin_extrapolation_walk_banded(
         x_sd, y_sd, f, g, a_log_f, b_log_f, e_last, tbB, tbA, p, tile))
     dt = timeit(ex_fn, f0, f0, reps=2)
